@@ -1,0 +1,161 @@
+"""Particle-filter parity + fidelity tests (SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy import stats
+
+import oracles
+from tpuslam.filters import (PfConfig, bivariate_normal_pdf,
+                             effective_sample_size, pf_estimate, pf_init,
+                             pf_likelihood, pf_rollout, pf_step,
+                             systematic_resample)
+
+
+CFG = PfConfig()
+
+
+class TestBivariateNormal:
+    def test_matches_scipy_independent(self, rng):
+        d = rng.normal(size=(50, 2))
+        got = np.asarray(bivariate_normal_pdf(d[:, 0], d[:, 1], 0.3, 0.3))
+        want = stats.multivariate_normal(mean=[0, 0],
+                                         cov=np.diag([0.09, 0.09])).pdf(d)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_matches_scipy_correlated(self, rng):
+        d = rng.normal(size=(50, 2))
+        sx, sy, sxy = 0.5, 0.4, 0.1
+        got = np.asarray(bivariate_normal_pdf(d[:, 0], d[:, 1], sx, sy, sxy))
+        cov = np.array([[sx * sx, sxy], [sxy, sy * sy]])
+        want = stats.multivariate_normal(mean=[0, 0], cov=cov).pdf(d)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestResampling:
+    def test_matches_reference_walk(self, rng):
+        """Vectorized searchsorted == the reference's sequential comb walk
+        (particle_filter.py:212-221) given the same offset."""
+        n = 100
+        w = rng.random(n)
+        w = w / w.sum()
+        particles = rng.normal(size=(n, 3))
+        cum = np.cumsum(w)
+        offs = 0.37 / n
+        resample_id = np.arange(0.0, 1.0, 1.0 / n) + offs
+        # Reference sequential walk.
+        idx_ref = np.empty(n, dtype=int)
+        idx = 0
+        for i in range(n):
+            while resample_id[i] > cum[idx]:
+                idx += 1
+            idx_ref[i] = idx
+        idx_vec = np.searchsorted(cum, resample_id, side="left")
+        np.testing.assert_array_equal(idx_vec, idx_ref)
+
+    def test_preserves_distribution(self, rng):
+        n = 5000
+        particles = jnp.asarray(rng.normal(size=(n, 3)))
+        w = np.zeros(n)
+        w[:10] = 1.0 / 10.0  # all mass on first 10 particles
+        newp, neww = systematic_resample(jax.random.key(0), particles,
+                                         jnp.asarray(w))
+        assert newp.shape == (n, 3)
+        np.testing.assert_allclose(np.asarray(neww), 1.0 / n)
+        # Every resampled particle must be one of the first 10.
+        src = np.asarray(particles[:10])
+        got = np.asarray(newp)
+        for row in got[:50]:
+            assert np.min(np.abs(src - row).sum(axis=1)) < 1e-6
+
+    def test_ess(self):
+        w = jnp.full(100, 0.01)
+        assert np.isclose(float(effective_sample_size(w)), 100.0)
+        w = jnp.zeros(100).at[0].set(1.0)
+        assert np.isclose(float(effective_sample_size(w)), 1.0)
+
+
+class TestLikelihood:
+    def test_true_pose_has_max_likelihood(self, rng):
+        """A particle at the observed pose beats perturbed ones."""
+        pose = np.array([10.0, 0.0, np.pi / 2.0])
+        lm = np.asarray(CFG.landmarks)
+        z = oracles.world2robot(pose, lm)  # noise-free observation
+        particles = np.tile(pose, (50, 1))
+        particles[1:] += rng.normal(size=(49, 3)) * 0.5
+        like = np.asarray(pf_likelihood(CFG, jnp.asarray(particles),
+                                        jnp.asarray(z)))
+        assert like.argmax() == 0
+
+    def test_log_mode_matches_linear(self, rng):
+        pose = np.array([10.0, 0.0, np.pi / 2.0])
+        lm = np.asarray(CFG.landmarks)
+        z = oracles.world2robot(pose, lm) + rng.normal(size=lm.shape) * 0.1
+        particles = np.tile(pose, (20, 1)) + rng.normal(size=(20, 3)) * 0.2
+        lin = np.asarray(pf_likelihood(CFG, jnp.asarray(particles),
+                                       jnp.asarray(z)))
+        log_cfg = PfConfig(weight_mode="log")
+        lg = np.asarray(pf_likelihood(log_cfg, jnp.asarray(particles),
+                                      jnp.asarray(z)))
+        # Linear mode underflows to 0 for far particles (that is the
+        # failure mode log mode exists to avoid); compare where finite.
+        mask = lin > 0
+        assert mask.sum() >= 5
+        np.testing.assert_allclose(np.log(lin[mask]), lg[mask], atol=1e-3)
+
+
+class TestPfStep:
+    def test_shapes(self):
+        state = pf_init(CFG)
+        state2, out = jax.jit(
+            lambda s, k: pf_step(CFG, s, k))(state, jax.random.key(0))
+        assert state2.particles.shape == (1000, 3)
+        assert out.x_est.shape == (3,)
+        assert np.isclose(float(out.weights.sum()), 1.0, atol=1e-4)
+
+    def test_estimate_is_argmax_particle(self):
+        state = pf_init(CFG)
+        state, out = pf_step(CFG, state, jax.random.key(1))
+        idx = int(out.max_idx)
+        np.testing.assert_allclose(np.asarray(out.x_est),
+                                   np.asarray(out.particles[idx]), atol=1e-6)
+
+    def test_mean_estimate_mode(self):
+        cfg = PfConfig(estimate="mean")
+        state = pf_init(cfg)
+        state, out = pf_step(cfg, state, jax.random.key(1))
+        assert out.x_est.shape == (3,)
+
+    def test_tracking_fidelity(self):
+        """Filter fidelity: PF estimate stays within a band of the truth
+        over the reference's 36 s course (360 steps, 1000 particles)."""
+        cfg = PfConfig(weight_mode="log")
+        _, outs = jax.jit(lambda k: pf_rollout(cfg, k, 360))(
+            jax.random.key(7))
+        err = np.asarray(outs.x_est[:, :2] - outs.x_true[:, :2])
+        rmse = np.sqrt((err ** 2).sum(-1).mean())
+        # Observation std is 0.3 per axis and 5 landmarks: estimate should
+        # stay well under 1 m RMSE after burn-in.
+        assert rmse < 1.0
+
+    def test_linear_mode_also_tracks(self):
+        _, outs = jax.jit(lambda k: pf_rollout(CFG, k, 200))(
+            jax.random.key(9))
+        err = np.asarray(outs.x_est[50:, :2] - outs.x_true[50:, :2])
+        rmse = np.sqrt((err ** 2).sum(-1).mean())
+        assert rmse < 1.5
+
+    def test_resampling_triggers(self):
+        """Over a long run the ESS gate must fire at least once."""
+        _, outs = pf_rollout(CFG, jax.random.key(3), 300)
+        assert bool(np.asarray(outs.resampled).any())
+
+    def test_scaling_particle_counts(self):
+        """100 -> 10k particles (BASELINE config 2 shape check)."""
+        for npart in [100, 10000]:
+            cfg = PfConfig(num_particles=npart, weight_mode="log")
+            state = pf_init(cfg)
+            state, out = jax.jit(
+                lambda s, k: pf_step(cfg, s, k))(state, jax.random.key(0))
+            assert state.particles.shape == (npart, 3)
