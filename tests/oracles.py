@@ -139,3 +139,116 @@ def rot_z_cov(cov, ang):
     c, s = np.cos(ang), np.sin(ang)
     rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
     return rot @ cov @ rot.T
+
+
+def _rot_z(ang):
+    c, s = np.cos(ang), np.sin(ang)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def graph_gn_iteration(poses, dist, bearing, orient, valid, t_now,
+                       gain, dir_sigma, orient_sigma, anchor=1e4,
+                       det_min=0.1, cond_max=1e15):
+    """One Gauss-Newton iteration of the reference graph-SLAM algorithm
+    (setPairObs over all same-landmark sighting pairs + updateEstPose),
+    float64, with the reference's compacted time indexing.
+
+    poses: (T1, 3) float64, updated in place on a copy and returned.
+    Returns (poses, is_calc, delta_sum, det, cond, kept_times).
+    """
+    poses = poses.copy()
+    t1, num_l = valid.shape
+    edges = []  # (tb, ta, Hbb, Hba, Hab, Haa, bb, ba)
+    kept = set()
+    for l in range(num_l):
+        times = [t for t in range(t_now + 1) if valid[t, l]]
+        for x in range(len(times)):
+            for y in range(x + 1, len(times)):
+                tb, ta = times[x], times[y]
+                kept.add(tb)
+                kept.add(ta)
+                pb, pa = poses[tb], poses[ta]
+                db, da = dist[tb, l], dist[ta, l]
+                dirb, dira = bearing[tb, l], bearing[ta, l]
+                orb, ora = orient[tb, l], orient[ta, l]
+
+                rel_rbt = pa - pb
+                rel_rbt = rel_rbt.copy()
+                rel_rbt[2] = limit_angle(rel_rbt[2])
+
+                dwb = limit_angle(np.pi + dirb - orb)
+                dwa = limit_angle(np.pi + dira - ora)
+                owb = limit_angle(BASE_ANG - orb)
+                owa = limit_angle(BASE_ANG - ora)
+                rel_obs = np.array([
+                    da * np.cos(dwa) - db * np.cos(dwb),
+                    da * np.sin(dwa) - db * np.sin(dwb),
+                    limit_angle(owa - owb),
+                ])
+                err = rel_rbt - rel_obs
+                err[2] = limit_angle(err[2])
+                err = err[:, None]
+
+                cov_b = rot_z_cov(
+                    measurement_cov(db, gain, dir_sigma, orient_sigma),
+                    dirb + pb[2] - BASE_ANG)
+                cov_a = rot_z_cov(
+                    measurement_cov(da, gain, dir_sigma, orient_sigma),
+                    dira + pa[2] - BASE_ANG)
+                omega = np.linalg.inv(cov_a + cov_b)
+
+                thb = limit_angle(pb[2] + dirb)
+                jb = np.array([[-1.0, 0.0, db * np.sin(thb)],
+                               [0.0, -1.0, -db * np.cos(thb)],
+                               [0.0, 0.0, -1.0]])
+                tha = limit_angle(pa[2] + dira)
+                ja = np.array([[1.0, 0.0, -da * np.sin(tha)],
+                               [0.0, 1.0, da * np.cos(tha)],
+                               [0.0, 0.0, 1.0]])
+                edges.append((tb, ta, jb.T @ omega @ jb, jb.T @ omega @ ja,
+                              ja.T @ omega @ jb, ja.T @ omega @ ja,
+                              jb.T @ omega @ err, ja.T @ omega @ err))
+
+    kept = sorted(kept)
+    if len(kept) <= 1:
+        return poses, False, 0.0, 0.0, 0.0, kept
+
+    n = len(kept) * 3
+    H = np.zeros((n, n))
+    bvec = np.zeros((n, 1))
+    H[0:3, 0:3] += np.eye(3) * anchor
+    idx = {t: i * 3 for i, t in enumerate(kept)}
+    for tb, ta, hbb, hba, hab, haa, bb, ba in edges:
+        ib, ia = idx[tb], idx[ta]
+        H[ib:ib + 3, ib:ib + 3] += hbb
+        H[ib:ib + 3, ia:ia + 3] += hba
+        H[ia:ia + 3, ib:ib + 3] += hab
+        H[ia:ia + 3, ia:ia + 3] += haa
+        bvec[ib:ib + 3] += bb
+        bvec[ia:ia + 3] += ba
+
+    det = np.linalg.det(H)
+    cond = np.linalg.cond(H)
+    if det > det_min and cond < cond_max:
+        delta = -np.linalg.inv(H) @ bvec
+        for i, t in enumerate(kept):
+            poses[t, 0] += delta[i * 3, 0]
+            poses[t, 1] += delta[i * 3 + 1, 0]
+            poses[t, 2] = limit_angle(poses[t, 2] + delta[i * 3 + 2, 0])
+        return poses, True, float((delta.T @ delta)[0, 0]), det, cond, kept
+    return poses, False, 0.0, det, cond, kept
+
+
+def graph_solve(poses, dist, bearing, orient, valid, t_now, gain,
+                dir_sigma, orient_sigma, anchor=1e4, th=0.01,
+                max_iters=50):
+    """Reference Gauss-Newton outer loop (estimateOpticalTrajectory)."""
+    delta_sum = th
+    iters = 0
+    is_calc = False
+    while delta_sum >= th and iters < max_iters:
+        poses, is_calc, delta_sum, det, cond, kept = graph_gn_iteration(
+            poses, dist, bearing, orient, valid, t_now, gain, dir_sigma,
+            orient_sigma, anchor)
+        iters += 1
+    return poses, is_calc, delta_sum, iters

@@ -1,0 +1,8 @@
+"""Device meshes, sharded Monte-Carlo sweeps, particle parallelism."""
+
+from tpuslam.parallel.mesh import (PARTICLE_AXIS, ROLLOUT_AXIS, make_mesh,
+                                   replicated, rollout_sharding)
+from tpuslam.parallel.rollouts import sharded_ekf_sweep, sharded_pf_step
+
+__all__ = ["PARTICLE_AXIS", "ROLLOUT_AXIS", "make_mesh", "replicated",
+           "rollout_sharding", "sharded_ekf_sweep", "sharded_pf_step"]

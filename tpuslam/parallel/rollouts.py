@@ -1,0 +1,158 @@
+"""Sharded Monte-Carlo sweeps and particle-parallel filtering.
+
+TPU-native scaling tier (no reference counterpart - the reference is
+single-process, SURVEY.md section 2): ``shard_map`` over the mesh's
+``rollout`` axis carries independent noise-seeded rollouts (data parallel;
+XLA lowers the metric reductions to psum over ICI), and the ``particle``
+axis shards one filter's particle cloud across devices (the resampling
+collective all-gathers weights - O(N) bytes - so the systematic comb stays
+globally exact).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpuslam.filters.ekf import (EkfConfig, ekf_init, ekf_rollout,
+                                 ekf_rollout_batch)
+from tpuslam.filters.pf import (PfConfig, PfState, pf_estimate,
+                                pf_likelihood, _normalize,
+                                effective_sample_size)
+from tpuslam.models.process import circular_step
+from tpuslam.core.se2 import world_to_robot
+from tpuslam.parallel.mesh import PARTICLE_AXIS, ROLLOUT_AXIS
+
+
+def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int):
+    """Monte-Carlo EKF sweep sharded over the rollout mesh axis.
+
+    Each device runs its shard of seeded rollouts locally (vmap over the
+    local batch); position-RMSE is reduced with ``psum`` over ICI so every
+    device holds the global scalar.
+
+    Args:
+        keys: ``(B,)`` PRNG keys, B divisible by the rollout axis size.
+
+    Returns:
+        ``(x_true, x_pre, rmse)``: sharded ``(B, T, 3)`` trajectory
+        buffers and the replicated global RMSE scalar.
+    """
+
+    def local(keys_shard):
+        # Mark the (constant-initialized) filter state as varying over the
+        # rollout axis so the scan carry types check under shard_map.
+        state0 = jax.tree.map(
+            lambda x: jax.lax.pcast(x, (ROLLOUT_AXIS,), to="varying"),
+            ekf_init(cfg, (keys_shard.shape[0],)))
+        _, outs = jax.vmap(
+            lambda k, s: ekf_rollout(cfg, k, n_steps, state0=s))(
+                keys_shard, state0)
+        err = outs.x_pre[..., :2] - outs.x_true[..., :2]
+        se = jax.lax.psum(jnp.sum(err * err), ROLLOUT_AXIS)
+        n = jax.lax.psum(
+            jnp.asarray(err.shape[0] * err.shape[1], err.dtype),
+            ROLLOUT_AXIS)
+        rmse = jnp.sqrt(se / n)
+        return outs.x_true, outs.x_pre, rmse
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(ROLLOUT_AXIS),
+                       out_specs=(P(ROLLOUT_AXIS), P(ROLLOUT_AXIS), P()))
+    return fn(keys)
+
+
+def sharded_pf_step(cfg: PfConfig, mesh, state: PfState, key):
+    """One PF step with the particle cloud sharded over ``particle``.
+
+    The predict and likelihood stages are embarrassingly parallel per
+    particle shard; weight normalization is a ``psum``; ESS-gated
+    systematic resampling all-gathers ``(weights, particles)`` so the
+    global comb walk (particle_filter.py:212-221 semantics) is exact, then
+    each device keeps its slice of the resampled cloud.
+
+    Args:
+        state: ``PfState`` whose ``particles``/``weights`` leading axis is
+            sharded over the particle mesh axis.
+
+    Returns:
+        ``(next_state, x_est)`` with the same shardings.
+    """
+    n_total = cfg.num_particles
+
+    def local(x_true, particles, weights, key):
+        k_rs, k_pred, k_obs = jax.random.split(key, 3)
+        my = jax.lax.axis_index(PARTICLE_AXIS)
+        n_dev = jax.lax.axis_size(PARTICLE_AXIS)
+        n_local = particles.shape[0]
+
+        # ESS gate on global weights.
+        ess = 1.0 / jax.lax.psum(jnp.sum(weights * weights), PARTICLE_AXIS)
+        do_rs = ess < n_total * cfg.ess_threshold_frac
+
+        def resample(args):
+            particles, weights = args
+            all_w = jax.lax.all_gather(weights, PARTICLE_AXIS,
+                                       tiled=True)  # (N,)
+            all_p = jax.lax.all_gather(particles, PARTICLE_AXIS,
+                                       tiled=True)  # (N, 3)
+            cum = jnp.cumsum(all_w)
+            offs = jax.random.uniform(k_rs, dtype=weights.dtype) / n_total
+            # Each device draws only its own comb positions.
+            u = (jnp.arange(n_local, dtype=weights.dtype)
+                 + my * n_local) / n_total + offs
+            idx = jnp.clip(jnp.searchsorted(cum, u, side="left"), 0,
+                           n_total - 1)
+            return all_p[idx], jnp.full_like(weights, 1.0 / n_total)
+
+        particles, weights = jax.lax.cond(
+            do_rs, resample, lambda a: a, (particles, weights))
+
+        # Predict (local).
+        noise = jax.random.fold_in(k_pred, my)
+        q = jax.random.normal(noise, particles.shape,
+                              particles.dtype) * jnp.asarray(cfg.q_std)
+        particles = circular_step(particles, cfg.vel, cfg.yaw_rate,
+                                  cfg.dt) + q
+
+        # Truth + observation (replicated math, same key everywhere).
+        x_true_next = circular_step(x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
+        lm = jnp.asarray(cfg.landmarks)
+        z = world_to_robot(x_true_next, lm)
+        z = z + jax.random.normal(k_obs, z.shape,
+                                  z.dtype) * jnp.asarray(cfg.r_std)
+
+        # Weight (local) + global normalize.
+        like = pf_likelihood(cfg, particles, z)
+        if cfg.weight_mode == "log":
+            lw = jnp.log(weights) + like
+            m = jax.lax.pmax(jnp.max(lw), PARTICLE_AXIS)
+            w = jnp.exp(lw - m)
+        else:
+            w = weights * like
+        total = jax.lax.psum(jnp.sum(w), PARTICLE_AXIS)
+        w = w / total
+        w = jnp.where(jnp.isnan(w), 1.0 / n_total, w)
+
+        # Global MAP estimate: argmax across devices.
+        local_max = jnp.max(w)
+        local_arg = jnp.argmax(w)
+        all_max = jax.lax.all_gather(local_max, PARTICLE_AXIS)
+        best_dev = jnp.argmax(all_max)
+        cand = pf_estimate(cfg, particles, w)  # local argmax particle
+        all_cand = jax.lax.all_gather(cand, PARTICLE_AXIS)
+        x_est = all_cand[best_dev]
+        return x_true_next, particles, w, x_est
+
+    # check_vma=False: x_true / x_est are value-replicated (they come from
+    # all_gather / identical per-device math) but the static analysis
+    # cannot prove it.
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(PARTICLE_AXIS), P(PARTICLE_AXIS), P()),
+        out_specs=(P(), P(PARTICLE_AXIS), P(PARTICLE_AXIS), P()),
+        check_vma=False)
+    x_true, particles, weights, x_est = fn(state.x_true, state.particles,
+                                           state.weights, key)
+    return PfState(x_true=x_true, particles=particles,
+                   weights=weights), x_est
