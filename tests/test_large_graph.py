@@ -1,0 +1,158 @@
+"""Large-scale graph SLAM tests: banded assembly vs dense, CG solver,
+end-to-end convergence on a synthetic loop."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.models.scan_sensor import ScanConfig
+from tpuslam.slam import GraphConfig, GraphObservations
+from tpuslam.slam.large import (EdgeList, assemble_banded, banded_matvec,
+                                build_edge_blocks, cg_solve,
+                                graph_solve_banded, make_large_scene,
+                                window_pairs)
+from tpuslam.slam.graph import (assemble, build_edges, kept_times,
+                                upper_pairs)
+
+
+def _cfg(t1, num_lm, **kw):
+    return GraphConfig(
+        max_times=t1, num_landmarks=num_lm,
+        scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                        dist_gain=0.05, dir_sigma=math.radians(2.0),
+                        orient_sigma=math.radians(2.0)), **kw)
+
+
+class TestWindowPairs:
+    def test_full_window_is_all_pairs(self):
+        valid = np.zeros((5, 2), bool)
+        valid[[0, 2, 4], 0] = True
+        valid[[1, 3], 1] = True
+        el = window_pairs(valid, window=10)
+        # landmark 0: (0,2),(0,4),(2,4); landmark 1: (1,3) -> 4 edges
+        assert el.t_b.shape == (4,)
+
+    def test_window_limits_span(self):
+        valid = np.zeros((10, 1), bool)
+        valid[[0, 3, 9], 0] = True
+        el = window_pairs(valid, window=4)
+        pairs = set(zip(np.asarray(el.t_b).tolist(),
+                        np.asarray(el.t_a).tolist()))
+        assert pairs == {(0, 3)}  # (0,9) and (3,9) exceed window 4
+
+
+class TestBandedVsDense:
+    def _setup(self, t_steps=8, seed=0):
+        from tpuslam.slam import SlamSceneConfig, simulate
+
+        cfg = _cfg(t_steps + 1, 9)
+        scene = SlamSceneConfig()
+        traj = simulate(scene, cfg, jax.random.key(seed), t_steps)
+        return cfg, traj
+
+    def test_banded_assembly_matches_dense(self):
+        """Full-window banded H must equal the dense path's H."""
+        cfg, traj = self._setup()
+        t1 = 9
+        el = window_pairs(np.asarray(traj.obs.valid), window=t1)
+        blocks = build_edge_blocks(cfg, traj.poses_odom, traj.obs, el)
+        h_band, bvec, kept = assemble_banded(cfg, blocks, el, t1,
+                                             band=t1 - 1)
+
+        pi, pj = upper_pairs(t1)
+        edges = build_edges(cfg, traj.poses_odom, traj.obs,
+                            jnp.asarray(t1 - 1), pi, pj)
+        kept_d = kept_times(traj.obs, t1 - 1)
+        h_dense, b_dense = assemble(cfg, edges, kept_d, pi, pj, t1)
+
+        # Reconstruct dense H from the band and compare.
+        h_from_band = np.zeros((3 * t1, 3 * t1), np.float64)
+        hb = np.asarray(h_band, np.float64)
+        for d in range(t1):
+            for i in range(t1 - d):
+                blk = hb[d, i]
+                h_from_band[3 * i:3 * i + 3,
+                            3 * (i + d):3 * (i + d) + 3] += blk
+                if d > 0:
+                    h_from_band[3 * (i + d):3 * (i + d) + 3,
+                                3 * i:3 * i + 3] += blk.T
+        np.testing.assert_allclose(h_from_band, np.asarray(h_dense),
+                                   rtol=2e-3, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(bvec).ravel(),
+                                   np.asarray(b_dense), rtol=2e-3,
+                                   atol=2e-2)
+
+    def test_matvec_matches_dense(self, rng):
+        cfg, traj = self._setup()
+        t1 = 9
+        el = window_pairs(np.asarray(traj.obs.valid), window=t1)
+        blocks = build_edge_blocks(cfg, traj.poses_odom, traj.obs, el)
+        h_band, _, _ = assemble_banded(cfg, blocks, el, t1, band=t1 - 1)
+        x = rng.normal(size=(t1, 3)).astype(np.float32)
+        y = np.asarray(banded_matvec(h_band, jnp.asarray(x)))
+
+        # Dense reference from the band itself.
+        hb = np.asarray(h_band, np.float64)
+        h_dense = np.zeros((3 * t1, 3 * t1))
+        for d in range(t1):
+            for i in range(t1 - d):
+                h_dense[3 * i:3 * i + 3,
+                        3 * (i + d):3 * (i + d) + 3] += hb[d, i]
+                if d > 0:
+                    h_dense[3 * (i + d):3 * (i + d) + 3,
+                            3 * i:3 * i + 3] += hb[d, i].T
+        want = (h_dense @ x.reshape(-1)).reshape(t1, 3)
+        np.testing.assert_allclose(y, want, rtol=1e-3, atol=1e-3)
+
+    def test_cg_matches_direct_solve(self, rng):
+        cfg, traj = self._setup()
+        t1 = 9
+        el = window_pairs(np.asarray(traj.obs.valid), window=t1)
+        blocks = build_edge_blocks(cfg, traj.poses_odom, traj.obs, el)
+        h_band, bvec, _ = assemble_banded(cfg, blocks, el, t1, band=t1 - 1)
+        x, iters = cg_solve(h_band, bvec, max_iters=500, tol=1e-12)
+        hx = np.asarray(banded_matvec(h_band, x))
+        res = np.linalg.norm(hx - np.asarray(bvec)) / (
+            np.linalg.norm(np.asarray(bvec)) + 1e-30)
+        assert res < 1e-3
+        assert int(iters) < 500
+
+
+class TestLargeSceneEndToEnd:
+    def test_solve_converges_and_improves(self):
+        """200-pose / 40-landmark loop with heavy odometry drift: banded
+        GN with the odometry chain + exact Jacobians must substantially
+        reduce the drift against ground truth."""
+        from tpuslam.core.angles import wrap_angle
+
+        noise = 0.3
+        cfg = _cfg(200, 40, max_gn_iters=20, exact_jacobians=True)
+        poses_true, poses_odom, obs = make_large_scene(
+            cfg, jax.random.key(0), 200, 40, radius=60.0,
+            odom_noise=noise)
+        rel_odom = poses_odom[1:] - poses_odom[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        el = window_pairs(np.asarray(obs.valid), window=30)
+        assert el.t_b.shape[0] > 100  # scene produces real constraints
+        res = graph_solve_banded(
+            cfg, poses_odom, obs, el, band=30, rel_odom=rel_odom,
+            odom_info=(1 / noise ** 2,) * 3)
+        err_odo = np.asarray(poses_odom[:, :2] - poses_true[:, :2])
+        err_est = np.asarray(res.poses[:, :2] - poses_true[:, :2])
+        rmse_odo = np.sqrt((err_odo ** 2).sum(-1).mean())
+        rmse_est = np.sqrt((err_est ** 2).sum(-1).mean())
+        assert np.isfinite(rmse_est)
+        assert rmse_est < 0.7 * rmse_odo
+        assert int(res.gn_iters) >= 1
+
+    def test_no_nan_without_odometry_chain(self):
+        """Landmark-only graphs (the reference's formulation) must stay
+        finite even when weakly anchored."""
+        cfg = _cfg(100, 20, max_gn_iters=10, exact_jacobians=True)
+        poses_true, poses_odom, obs = make_large_scene(
+            cfg, jax.random.key(1), 100, 20, radius=40.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=20)
+        res = graph_solve_banded(cfg, poses_odom, obs, el, band=20)
+        assert np.isfinite(np.asarray(res.poses)).all()

@@ -1,0 +1,56 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh; the real-TPU
+compile/bench path is exercised by bench.py on hardware)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpuslam.filters import EkfConfig, ekf_init, ekf_step_with_noise
+from tpuslam.ops import ekf_fused_rollout
+
+
+CFG = EkfConfig()
+
+
+class TestEkfFusedKernel:
+    def test_noise_free_matches_scan_path_exactly(self):
+        """With noise off, the fused kernel must reproduce the XLA scan
+        path step-for-step (same f32 math, same order)."""
+        n = 25
+        final, err = ekf_fused_rollout(CFG, 0, batch=8, n_steps=n,
+                                       tile_b=8, noise_on=False,
+                                       interpret=True)
+        state = ekf_init(CFG)
+        for _ in range(n):
+            state, _ = ekf_step_with_noise(CFG, state, jnp.zeros(2),
+                                           jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(final.x_hat[0]),
+                                   np.asarray(state.x_hat), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(final.x_true[0]),
+                                   np.asarray(state.x_true), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(final.cov[0]),
+                                   np.asarray(state.cov), atol=1e-6)
+
+    def test_error_accumulator_noise_free(self):
+        """Noise-free: estimate==truth after convergence... the
+        accumulator equals the scan-path squared error (= 0 here since
+        x_hat starts at truth and follows the same deterministic orbit)."""
+        _, err = ekf_fused_rollout(CFG, 0, batch=8, n_steps=10, tile_b=8,
+                                   noise_on=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-8)
+
+    def test_batch_tiling(self):
+        """Multiple grid tiles produce the same per-tile deterministic
+        result as a single tile in the noise-free path."""
+        f1, _ = ekf_fused_rollout(CFG, 0, batch=16, n_steps=5, tile_b=8,
+                                  noise_on=False, interpret=True)
+        f2, _ = ekf_fused_rollout(CFG, 0, batch=8, n_steps=5, tile_b=8,
+                                  noise_on=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(f1.x_hat[12]),
+                                   np.asarray(f2.x_hat[0]), atol=1e-6)
+
+    def test_bad_tile_raises(self):
+        with pytest.raises(ValueError):
+            ekf_fused_rollout(CFG, 0, batch=100, n_steps=5, tile_b=64,
+                              interpret=True)

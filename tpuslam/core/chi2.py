@@ -38,6 +38,10 @@ def _exact(p_percent):
 #: so the grid agrees with the reference's hardcoded 9-digit table.
 _CHI2_GRID = tuple(-2.0 * math.log1p(-p / 100.0) for p in _P_GRID)
 
+#: Public aliases (consumed by the host-side renderer).
+P_GRID = _P_GRID
+CHI2_GRID = _CHI2_GRID
+
 
 def chi2_ppf_2dof(p_percent):
     """Exact chi-squared (2 dof) quantile for p% central confidence.

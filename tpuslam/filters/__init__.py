@@ -2,7 +2,7 @@
 
 from tpuslam.filters.ekf import (EkfConfig, EkfOut, EkfState, ekf_init,
                                  ekf_predict, ekf_rollout, ekf_rollout_batch,
-                                 ekf_step, ekf_update)
+                                 ekf_step, ekf_step_with_noise, ekf_update)
 from tpuslam.filters.pf import (PfConfig, PfOut, PfState,
                                 bivariate_normal_pdf, effective_sample_size,
                                 pf_estimate, pf_init, pf_likelihood,
@@ -10,7 +10,8 @@ from tpuslam.filters.pf import (PfConfig, PfOut, PfState,
 
 __all__ = [
     "EkfConfig", "EkfOut", "EkfState", "ekf_init", "ekf_predict",
-    "ekf_rollout", "ekf_rollout_batch", "ekf_step", "ekf_update",
+    "ekf_rollout", "ekf_rollout_batch", "ekf_step", "ekf_step_with_noise",
+    "ekf_update",
     "PfConfig", "PfOut", "PfState", "bivariate_normal_pdf",
     "effective_sample_size", "pf_estimate", "pf_init", "pf_likelihood",
     "pf_rollout", "pf_step", "systematic_resample",

@@ -1,0 +1,267 @@
+"""Fused batched EKF-SLAM rollout as a single Pallas TPU kernel.
+
+This is the performance path for the BASELINE headline metric (>= 1e6
+batched EKF-SLAM sim steps/sec/chip): the entire N-step fused sim+filter
+rollout (the math of ``tpuslam.filters.ekf.ekf_step_with_noise``, itself
+parity with extended_kalman_filter.py:86-130) runs in ONE kernel launch.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  * Structure-of-arrays layout: the batch lives on the LANE dimension -
+    states are ``(9, B)`` rows ``[x_true, x_dr, x_hat]`` and covariances
+    ``(9, B)`` row-major 3x3 - so every operation is an (8, 128)-tiled
+    VPU elementwise op.  There are no 3x3 matmuls left: the Jacobian/
+    covariance products are unrolled into scalar-times-row FMAs (an MXU
+    would be idle at these shapes; the VPU is the right unit).
+  * RNG on-core: ``pltpu.prng_random_bits`` + Box-Muller, seeded once per
+    grid tile.  This removes the dominant cost of the XLA path (threefry
+    key splitting per step).  The stream differs from ``jax.random`` -
+    results are distributionally, not bitwise, equal to the scan path
+    (fidelity is pinned by the noise-free test which must match exactly).
+  * The step loop is a ``fori_loop`` inside the kernel: zero per-step
+    dispatch or scan overhead; all state stays in VMEM for the whole
+    rollout.
+  * Position squared-error accumulates in-kernel into an ``(8, B)``
+    accumulator, so the Monte-Carlo RMSE reduction costs one row-sum at
+    the end instead of a ``(B, T, 3)`` HBM trajectory buffer.
+  * Grid over batch tiles (``TILE_B`` lanes each); each tile folds
+    ``program_id`` into its seed for independent streams.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuslam.filters.ekf import EkfConfig, EkfState
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _wrap(a):
+    """Closed-form equivalent of mylib/limit.py:11-26 (VPU-only, no trig)."""
+    mag = jnp.abs(a)
+    k = jnp.maximum(jnp.ceil((mag - math.pi) / _TWO_PI), 0.0)
+    w = mag - _TWO_PI * k
+    return jnp.where(a < 0, -w, w)
+
+
+def _normals(shape, count):
+    """``count`` independent standard-normal rows via Box-Muller.
+
+    Returns a list of ``count`` arrays of ``shape`` (pairs share draws).
+    """
+    out = []
+    for _ in range((count + 1) // 2):
+        b1 = pltpu.prng_random_bits(shape)
+        b2 = pltpu.prng_random_bits(shape)
+        # 24 high bits -> (0, 1); +0.5 ulp keeps u1 strictly positive.
+        u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32)
+              + 0.5) * (1.0 / (1 << 24))
+        u2 = jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) * (
+            1.0 / (1 << 24))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        ang = _TWO_PI * u2
+        out.append(r * jnp.cos(ang))
+        out.append(r * jnp.sin(ang))
+    return out[:count]
+
+
+def _ekf_kernel(seed_ref, state_in_ref, cov_in_ref, state_ref, cov_ref,
+                err_ref, *, cfg: EkfConfig, n_steps: int, noise_on: bool):
+    if noise_on:
+        # (TPU-only primitive; the noise-free path must stay liftable to
+        # CPU interpret mode for the exactness test.)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    v = cfg.vel
+    w = cfg.yaw_rate
+    dt = cfg.dt
+    q0, q1, q2 = (s * s for s in cfg.q_std)
+    r0sq, r1sq = (s * s for s in cfg.r_std)
+    qa0, qa1, qa2 = cfg.q_act_std
+    ra0, ra1 = cfg.r_act_std
+    base = math.pi / 2.0
+
+    # Rows are kept 2-D (1, tile_b): TPU vector ops want >= 2 dims.
+    lane_shape = (1, state_ref.shape[1])
+
+    def step(_, carry):
+        (xt0, xt1, xt2, xd0, xd1, xd2, xh0, xh1, xh2,
+         p00, p01, p02, p10, p11, p12, p20, p21, p22, acc) = carry
+
+        if noise_on:
+            n = _normals(lane_shape, 6)  # 5 used; Box-Muller pairs of 2
+        else:
+            n = [jnp.zeros(lane_shape, jnp.float32)] * 6
+
+        # --- ground truth propagate (extended_kalman_filter.py:97) ------
+        c_t = jnp.cos(xt2)
+        s_t = jnp.sin(xt2)
+        xt0 = xt0 + v * dt * c_t
+        xt1 = xt1 + v * dt * s_t
+        xt2 = _wrap(xt2 + w * dt)
+
+        # --- observation: robot-frame noise rotated to world (:100-101) --
+        wx = n[0] * ra0
+        wy = n[1] * ra1
+        ang = xt2 - base
+        c_a = jnp.cos(ang)
+        s_a = jnp.sin(ang)
+        z0 = c_a * wx - s_a * wy + xt0
+        z1 = s_a * wx + c_a * wy + xt1
+
+        # --- dead reckoning (:104-106) -----------------------------------
+        c_d = jnp.cos(xd2)
+        s_d = jnp.sin(xd2)
+        xd0 = xd0 + v * dt * c_d + n[2] * qa0
+        xd1 = xd1 + v * dt * s_d + n[3] * qa1
+        xd2 = _wrap(xd2 + w * dt + n[4] * qa2)
+
+        # --- predict (:109-115) ------------------------------------------
+        c_h = jnp.cos(xh2)
+        s_h = jnp.sin(xh2)
+        xp0 = xh0 + v * dt * c_h
+        xp1 = xh1 + v * dt * s_h
+        xp2 = _wrap(xh2 + w * dt)
+        a = -dt * v * s_h  # jF[0,2]
+        b = dt * v * c_h  # jF[1,2]
+        # M = jF P  (rows 0,1 pick up a,b times row 2)
+        m00 = p00 + a * p20
+        m01 = p01 + a * p21
+        m02 = p02 + a * p22
+        m10 = p10 + b * p20
+        m11 = p11 + b * p21
+        m12 = p12 + b * p22
+        # P- = M jF^T + Q  (cols 0,1 pick up a,b times col 2)
+        p00 = m00 + a * m02 + q0
+        p01 = m01 + b * m02
+        p02 = m02
+        p10 = m10 + a * m12
+        p11 = m11 + b * m12 + q1
+        p12 = m12
+        p20n = p20 + a * p22
+        p21n = p21 + b * p22
+        p20, p21, p22 = p20n, p21n, p22 + q2
+
+        # --- update (:117-128); analytic 2x2 innovation inverse ----------
+        s00 = p00 + r0sq
+        s01 = p01
+        s10 = p10
+        s11 = p11 + r1sq
+        det = s00 * s11 - s01 * s10
+        inv = 1.0 / det
+        i00 = s11 * inv
+        i01 = -s01 * inv
+        i10 = -s10 * inv
+        i11 = s00 * inv
+        g00 = p00 * i00 + p01 * i10
+        g01 = p00 * i01 + p01 * i11
+        g10 = p10 * i00 + p11 * i10
+        g11 = p10 * i01 + p11 * i11
+        g20 = p20 * i00 + p21 * i10
+        g21 = p20 * i01 + p21 * i11
+        e0 = z0 - xp0
+        e1 = z1 - xp1
+        xh0 = xp0 + g00 * e0 + g01 * e1
+        xh1 = xp1 + g10 * e0 + g11 * e1
+        xh2 = _wrap(xp2 + g20 * e0 + g21 * e1)
+        # P = P- - G (C P-)  with C P- = rows 0,1 of P-
+        n00 = p00 - (g00 * p00 + g01 * p10)
+        n01 = p01 - (g00 * p01 + g01 * p11)
+        n02 = p02 - (g00 * p02 + g01 * p12)
+        n10 = p10 - (g10 * p00 + g11 * p10)
+        n11 = p11 - (g10 * p01 + g11 * p11)
+        n12 = p12 - (g10 * p02 + g11 * p12)
+        n20 = p20 - (g20 * p00 + g21 * p10)
+        n21 = p21 - (g20 * p01 + g21 * p11)
+        n22 = p22 - (g20 * p02 + g21 * p12)
+
+        # --- in-kernel position-RMSE accumulator -------------------------
+        d0 = xh0 - xt0
+        d1 = xh1 - xt1
+        acc = acc + d0 * d0 + d1 * d1
+
+        return (xt0, xt1, xt2, xd0, xd1, xd2, xh0, xh1, xh2,
+                n00, n01, n02, n10, n11, n12, n20, n21, n22, acc)
+
+    # Initial state/covariance from the memory-backed input tiles (splat
+    # constants in the loop carry trip Mosaic relayout checks).
+    init = tuple(state_in_ref[i:i + 1, :] for i in range(9)) + tuple(
+        cov_in_ref[i:i + 1, :] for i in range(9)) + (
+            state_in_ref[0:1, :] * 0.0,)
+    out = jax.lax.fori_loop(0, n_steps, step, init)
+
+    for i in range(9):
+        state_ref[i:i + 1, :] = out[i]
+    for i in range(9):
+        cov_ref[i:i + 1, :] = out[9 + i]
+    err_ref[0:1, :] = out[18]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "batch", "n_steps", "tile_b",
+                                    "noise_on", "interpret"))
+def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
+                      tile_b: int = 2048, noise_on: bool = True,
+                      interpret: bool = False):
+    """Run ``batch`` fused EKF rollouts of ``n_steps`` in one kernel.
+
+    Args:
+        cfg: static EKF config (reference defaults).
+        seed: int32 scalar array seeding the on-core PRNG.
+        batch: number of independent rollouts (multiple of ``tile_b``,
+            or smaller than it).
+        n_steps: steps per rollout.
+        noise_on: disable to get the deterministic noise-free trajectory
+            (used by the exactness test against the XLA scan path).
+
+    Returns:
+        ``(EkfState, sum_sq_err)``: final batched state (pytree of
+        ``(batch, ...)`` arrays) and the ``(batch,)`` accumulated position
+        squared error (divide by n_steps, sqrt, for per-rollout RMSE).
+    """
+    tile_b = min(tile_b, batch)
+    if batch % tile_b:
+        raise ValueError(f"batch {batch} not a multiple of tile {tile_b}")
+    grid = batch // tile_b
+
+    x0 = jnp.asarray(cfg.x0, jnp.float32)
+    state0 = jnp.tile(x0[:, None], (3, batch))  # (9, B)
+    p0 = jnp.diag(jnp.square(jnp.asarray(cfg.p0_std, jnp.float32)))
+    cov0 = jnp.tile(p0.reshape(9, 1), (1, batch))
+
+    kernel = functools.partial(_ekf_kernel, cfg=cfg, n_steps=n_steps,
+                               noise_on=noise_on)
+    row_spec = pl.BlockSpec((9, tile_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    state, cov, err = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((9, batch), jnp.float32),
+            jax.ShapeDtypeStruct((9, batch), jnp.float32),
+            jax.ShapeDtypeStruct((1, batch), jnp.float32),
+        ),
+        out_specs=(
+            row_spec,
+            row_spec,
+            pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), state0, cov0)
+
+    final = EkfState(
+        x_true=state[0:3].T, x_dr=state[3:6].T, x_hat=state[6:9].T,
+        cov=cov.T.reshape(batch, 3, 3))
+    return final, err[0]

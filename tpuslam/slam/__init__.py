@@ -8,10 +8,18 @@ from tpuslam.slam.graph import (GraphConfig, GraphObservations,
                                 GraphSolveResult, assemble, build_edges,
                                 gn_iteration, graph_solve, kept_times,
                                 preconditioned_solve, upper_pairs)
+from tpuslam.slam.large import (BandedSolveResult, EdgeList,
+                                add_odometry_chain, assemble_banded,
+                                banded_matvec, build_edge_blocks, cg_solve,
+                                graph_solve_banded, make_large_scene,
+                                window_pairs)
 
 __all__ = [
     "REF_SLAM_LANDMARKS", "SlamSceneConfig", "SlamTrajectory", "simulate",
     "slam_rollout", "solve_once", "GraphConfig", "GraphObservations",
     "GraphSolveResult", "assemble", "build_edges", "gn_iteration",
     "graph_solve", "kept_times", "preconditioned_solve", "upper_pairs",
+    "BandedSolveResult", "EdgeList", "add_odometry_chain",
+    "assemble_banded", "banded_matvec", "build_edge_blocks", "cg_solve",
+    "graph_solve_banded", "make_large_scene", "window_pairs",
 ]

@@ -77,6 +77,14 @@ class GraphConfig:
     guard: str = "full"
     #: iterative-refinement passes after the preconditioned f32 solve.
     refine_iters: int = 1
+    #: Reference quirk (graph_based_slam.py:419-427): the edge residual is
+    #: built from OBSERVED orientations and is therefore linear in the
+    #: poses (independent of estimated yaw), yet the reference linearizes
+    #: with yaw-dependent Jacobians - at demo scale the 1e4 anchor hides
+    #: the inconsistency; at hundreds of poses GN wanders in yaw.  False
+    #: (default) reproduces the reference; True uses the exact Jacobians
+    #: J = +/-I of the actual residual (the large-scale path's default).
+    exact_jacobians: bool = False
 
 
 class GraphObservations(typing.NamedTuple):
