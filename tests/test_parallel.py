@@ -68,3 +68,45 @@ class TestShardedPf:
                 np.asarray(x_est[:2] - state.x_true[:2])))
         # After burn-in the sharded PF tracks the truth.
         assert np.mean(errs[10:]) < 1.0
+
+
+class TestShardedGraphAssembly:
+    def test_matches_unsharded_iteration(self):
+        """Edge-sharded GN iteration == single-device banded iteration."""
+        import math
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, graph_solve_banded,
+                                  make_large_scene, window_pairs)
+        from tpuslam.slam.large import (assemble_banded, build_edge_blocks,
+                                        cg_solve)
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.parallel import make_mesh, sharded_gn_iteration
+
+        cfg = GraphConfig(
+            max_times=60, num_landmarks=12, exact_jacobians=True,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        pt, po, obs = make_large_scene(cfg, jax.random.key(2), 60, 12,
+                                       radius=20.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=15)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+
+        mesh = make_mesh()
+        poses_s, dsum_s, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh, p, obs, el, 15,
+                                           rel_odom=rel_odom))(po)
+
+        # Unsharded single iteration.
+        from tpuslam.slam.large import add_odometry_chain
+        blocks = build_edge_blocks(cfg, po, obs, el)
+        h_band, bvec, kept = assemble_banded(cfg, blocks, el, 60, 15)
+        h_band, bvec = add_odometry_chain(h_band, bvec, po, rel_odom,
+                                          (100.0, 100.0, 400.0))
+        delta, _ = cg_solve(h_band, -bvec)
+        want = po + delta
+        want = want.at[:, 2].set(wrap_angle(want[:, 2]))
+
+        np.testing.assert_allclose(np.asarray(poses_s), np.asarray(want),
+                                   atol=5e-3)

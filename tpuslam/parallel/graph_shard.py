@@ -1,0 +1,107 @@
+"""Edge-sharded graph-SLAM assembly: the 'constraint parallel' axis.
+
+The dominant cost of a large graph solve is edge-block construction +
+scatter-add assembly over millions of constraints (see
+``tpuslam.slam.large``).  Constraints are independent, so they shard
+perfectly: each device builds and locally assembles its slice of the edge
+list into banded ``(H, b)`` partials, which a ``psum`` over ICI combines
+into the replicated global system; the (much cheaper) preconditioned CG
+solve then runs replicated.  This is the framework's analog of
+sequence/context parallelism - the trajectory's constraint set, not a
+sequence of tokens, is what gets sliced (SURVEY.md section 2: "sharding
+the graph-SLAM information matrix blocks across devices").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpuslam.core.angles import wrap_angle
+from tpuslam.parallel.mesh import ROLLOUT_AXIS
+from tpuslam.slam.graph import GraphConfig, GraphObservations
+from tpuslam.slam.large import (EdgeList, add_odometry_chain,
+                                assemble_banded, build_edge_blocks,
+                                cg_solve)
+
+
+def pad_edges(edges: EdgeList, multiple: int) -> EdgeList:
+    """Pad the edge list with invalid slots to a device-count multiple."""
+    e = edges.t_b.shape[0]
+    pad = (-e) % multiple
+    if pad == 0:
+        return edges
+    z = jnp.zeros((pad,), edges.t_b.dtype)
+    return EdgeList(
+        t_b=jnp.concatenate([edges.t_b, z]),
+        t_a=jnp.concatenate([edges.t_a, z]),
+        lm=jnp.concatenate([edges.lm, z]),
+        valid=jnp.concatenate([edges.valid,
+                               jnp.zeros((pad,), bool)]))
+
+
+def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
+                         obs: GraphObservations, edges: EdgeList,
+                         band: int, rel_odom=None,
+                         odom_info=(100.0, 100.0, 400.0),
+                         cg_iters: int = 200, cg_tol: float = 1e-8):
+    """One Gauss-Newton iteration with edge-sharded assembly.
+
+    Edges are sharded over the mesh's rollout axis; poses/observations are
+    replicated (they are O(T) vs the edges' O(E) >> O(T)).  Assembly
+    partials meet in a single psum; the CG solve is replicated.
+
+    Returns ``(new_poses, delta_sum, cg_iters)`` (replicated).
+    """
+    t1 = poses.shape[0]
+    n_dev = mesh.shape[ROLLOUT_AXIS]
+    edges = pad_edges(edges, n_dev)
+
+    def local(poses, t_b, t_a, lm, valid):
+        el = EdgeList(t_b, t_a, lm, valid)
+        blocks = build_edge_blocks(cfg, poses, obs, el)
+        h_band, bvec, kept = assemble_banded(cfg, blocks, el, t1, band)
+        # Remove the per-shard anchor/padding before the global reduction:
+        # assemble_banded added them from LOCAL visibility; re-derive them
+        # globally after psum.  Easiest exact route: subtract local extras.
+        # (assemble_banded adds anchor at local first-kept + identity on
+        # local non-kept diagonals; recompute and subtract.)
+        eye = jnp.eye(3, dtype=h_band.dtype)
+        diag_extra = jnp.where(kept[:, None, None], 0.0, 1.0) * eye
+        first_kept = jnp.argmax(kept)
+        anchor_extra = jnp.zeros((t1,), h_band.dtype).at[first_kept].set(
+            jnp.where(jnp.any(kept), cfg.anchor, 0.0))
+        h_band = h_band.at[0].add(-diag_extra
+                                  - anchor_extra[:, None, None] * eye)
+
+        kept_cnt = jax.lax.psum(kept.astype(jnp.int32), ROLLOUT_AXIS)
+        h_band = jax.lax.psum(h_band, ROLLOUT_AXIS)
+        bvec = jax.lax.psum(bvec, ROLLOUT_AXIS)
+
+        # Global anchor + padding (replicated).
+        kept_g = kept_cnt > 0
+        h_band = h_band.at[0].add(
+            jnp.where(kept_g[:, None, None], 0.0, 1.0) * eye)
+        fk = jnp.argmax(kept_g)
+        h_band = h_band.at[0, fk].add(
+            jnp.where(jnp.any(kept_g), cfg.anchor, 0.0) * eye)
+
+        if rel_odom is not None:
+            h_band, bvec = add_odometry_chain(h_band, bvec, poses,
+                                              rel_odom, odom_info)
+            kept_g = jnp.ones_like(kept_g)
+
+        delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
+        delta = delta * kept_g[:, None]
+        new_poses = poses + delta
+        new_poses = new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))
+        return new_poses, jnp.sum(delta * delta), cg_it
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(ROLLOUT_AXIS), P(ROLLOUT_AXIS), P(ROLLOUT_AXIS),
+                  P(ROLLOUT_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return fn(poses, edges.t_b, edges.t_a, edges.lm, edges.valid)
