@@ -31,7 +31,8 @@ def _time_scalar(fn, *args, reps=5):
     return sorted(times)[len(times) // 2]
 
 
-def bench_ekf(batch=8192, steps=400):
+def bench_ekf_scan(batch=8192, steps=400):
+    """XLA lax.scan path."""
     from tpuslam.filters import EkfConfig, ekf_rollout_batch
 
     cfg = EkfConfig()
@@ -43,6 +44,22 @@ def bench_ekf(batch=8192, steps=400):
         return jnp.sum(final.x_hat) + jnp.sum(final.cov)
 
     dt = _time_scalar(fn, keys)
+    return batch * steps / dt
+
+
+def bench_ekf_pallas(batch=8192, steps=400):
+    """Fused Pallas kernel path (the framework's fast path)."""
+    from tpuslam.filters import EkfConfig
+    from tpuslam.ops import ekf_fused_rollout
+
+    cfg = EkfConfig()
+
+    def fn(seed):
+        final, err = ekf_fused_rollout(cfg, seed, batch=batch,
+                                       n_steps=steps, tile_b=2048)
+        return jnp.sum(err)
+
+    dt = _time_scalar(fn, 1)
     return batch * steps / dt
 
 
@@ -85,12 +102,60 @@ def bench_graph(n_steps=60):
     return dt
 
 
+def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
+    """BASELINE config 5: 10k-pose / 1k-landmark banded solve latency."""
+    import math
+
+    import numpy as np
+
+    from tpuslam.core.angles import wrap_angle
+    from tpuslam.models.scan_sensor import ScanConfig
+    from tpuslam.slam import (GraphConfig, graph_solve_banded,
+                              make_large_scene, window_pairs)
+
+    cfg = GraphConfig(
+        max_times=n_poses, num_landmarks=n_landmarks, max_gn_iters=10,
+        scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                        dist_gain=0.05, dir_sigma=math.radians(2.0),
+                        orient_sigma=math.radians(2.0)),
+        exact_jacobians=True)
+    pt, po, obs = make_large_scene(cfg, jax.random.key(0), n_poses,
+                                   n_landmarks, radius=0.3 * n_poses,
+                                   odom_noise=0.1)
+    el = window_pairs(np.asarray(obs.valid), window=window)
+    rel_odom = po[1:] - po[:-1]
+    rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+
+    def fn(p):
+        res = graph_solve_banded(cfg, p, obs, el, band=window,
+                                 rel_odom=rel_odom,
+                                 odom_info=(100.0, 100.0, 100.0))
+        return jnp.sum(res.poses) + res.delta_sum
+
+    jfn = jax.jit(fn)
+    dt = _time_scalar(jfn, po, reps=3)
+    return dt, el.t_b.shape[0]
+
+
 def main():
     dev = jax.devices()[0]
     print(f"# device: {dev} ({dev.platform})", file=sys.stderr)
 
-    ekf_rate = bench_ekf()
-    print(f"# EKF: {ekf_rate:.3e} steps/s/chip", file=sys.stderr)
+    try:
+        ekf_rate = bench_ekf_pallas()
+        path = "pallas fused kernel"
+    except Exception as e:  # fall back to the scan path
+        print(f"# pallas bench failed ({e}); using scan path",
+              file=sys.stderr)
+        ekf_rate = bench_ekf_scan()
+        path = "xla scan"
+    print(f"# EKF ({path}): {ekf_rate:.3e} steps/s/chip", file=sys.stderr)
+    try:
+        scan_rate = bench_ekf_scan()
+        print(f"# EKF (xla scan): {scan_rate:.3e} steps/s/chip",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# scan bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf()
         print(f"# PF: {pf_rate:.3e} particle-steps/s/chip", file=sys.stderr)
@@ -102,6 +167,12 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"# graph bench failed: {e}", file=sys.stderr)
+    try:
+        large_dt, n_edges = bench_graph_large()
+        print(f"# graph solve (10k poses / 1k landmarks, {n_edges} edges): "
+              f"{large_dt:.3f} s (target < 1 s)", file=sys.stderr)
+    except Exception as e:
+        print(f"# large graph bench failed: {e}", file=sys.stderr)
 
     target = 1.0e6
     print(json.dumps({
