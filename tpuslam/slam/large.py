@@ -252,26 +252,44 @@ def add_odometry_chain(h_band, bvec, poses, rel_odom, odom_info):
     return h_band, bvec
 
 
-def banded_matvec(h_band, x):
-    """y = H x with block-banded upper storage + symmetry.
+def make_banded_matvec(h_band):
+    """Build a fast ``x -> H x`` closure for block-banded upper storage.
 
-    ``x`` is ``(T1, 3)``; each diagonal contributes a batched 3x3 matvec
-    plus its transpose on the mirrored offset - D+1 fully-parallel passes.
+    Precomputes (once per H) the masked upper band and the shifted,
+    transposed lower band so each matvec is TWO batched einsums over
+    ``(D, T1, 3, 3)`` tensors plus two gathers of x - one big fused VPU
+    pass instead of 2*D small ops (which made the CG loop op-count-bound).
     """
-    band = h_band.shape[0] - 1
-    t1 = x.shape[0]
-    y = jnp.einsum("tij,tj->ti", h_band[0], x)
-    for d in range(1, band + 1):
-        # Upper: y[i] += H[i, i+d] @ x[i+d]  for i in [0, t1-d)
-        xu = jnp.roll(x, -d, axis=0)
-        contrib_u = jnp.einsum("tij,tj->ti", h_band[d], xu)
-        rows = jnp.arange(t1)
-        mask_u = (rows < t1 - d)[:, None]
-        y = y + contrib_u * mask_u
-        # Lower: y[i+d] += H[i, i+d]^T @ x[i]
-        contrib_l = jnp.einsum("tji,tj->ti", h_band[d], x)
-        y = y + jnp.roll(contrib_l * mask_u, d, axis=0)
-    return y
+    d1, t1 = h_band.shape[0], h_band.shape[1]
+    offs = jnp.arange(d1)[:, None]  # (D, 1)
+    rows = jnp.arange(t1)[None, :]  # (1, T1)
+
+    # Upper: y[i] += sum_d H[d, i] @ x[i + d]   (valid while i + d < T1)
+    idx_u = rows + offs  # (D, T1)
+    valid_u = (idx_u < t1)[..., None]
+    idx_u = jnp.clip(idx_u, 0, t1 - 1)
+    h_up = h_band * valid_u[..., None]
+
+    # Lower: y[j] += sum_{d>=1} H[d, j - d]^T @ x[j - d]
+    idx_l = rows - offs  # (D, T1)
+    valid_l = ((idx_l >= 0) & (offs >= 1))[..., None]
+    idx_l = jnp.clip(idx_l, 0, t1 - 1)
+    h_low = jnp.swapaxes(
+        h_band[jnp.arange(d1)[:, None], idx_l], -1, -2) * valid_l[..., None]
+
+    def matvec(x):
+        xu = x[idx_u] * valid_u
+        xl = x[idx_l] * valid_l
+        return (jnp.einsum("dtij,dtj->ti", h_up, xu)
+                + jnp.einsum("dtij,dtj->ti", h_low, xl))
+
+    return matvec
+
+
+def banded_matvec(h_band, x):
+    """y = H x with block-banded upper storage + symmetry (one-shot API;
+    inside iterative solvers use :func:`make_banded_matvec` once)."""
+    return make_banded_matvec(h_band)(x)
 
 
 def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
@@ -281,6 +299,7 @@ def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
     solution of ``H x = b``.
     """
     minv = _inv3x3(h_band[0])  # (T1, 3, 3) block-Jacobi preconditioner
+    matvec = make_banded_matvec(h_band)
 
     def precond(r):
         return jnp.einsum("tij,tj->ti", minv, r)
@@ -294,7 +313,7 @@ def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
 
     def body(carry):
         x, r, p, rz, it = carry
-        hp = banded_matvec(h_band, p)
+        hp = matvec(p)
         php = jnp.sum(p * hp)
         # Breakdown-proof: a vanishing curvature direction (converged or
         # semidefinite mode) yields a zero step, not an overflow.
@@ -376,7 +395,8 @@ class BandedSolveResult(typing.NamedTuple):
 def graph_solve_banded(cfg: GraphConfig, poses_init,
                        obs: GraphObservations, edges: EdgeList, band: int,
                        cg_iters: int = 200, cg_tol: float = 1e-8,
-                       rel_odom=None, odom_info=(100.0, 100.0, 400.0)):
+                       rel_odom=None, odom_info=(100.0, 100.0, 400.0),
+                       solver: str = "cg"):
     """Gauss-Newton with banded assembly + CG inner solves.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -389,6 +409,9 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             consecutive-pose motion chain with information ``odom_info``
             is added (see :func:`add_odometry_chain`) - strongly
             recommended at scale.
+        solver: ``"cg"`` (block-Jacobi PCG, matrix-free) or
+            ``"cholesky"`` (exact blocked banded Cholesky,
+            :mod:`tpuslam.slam.cholesky` - conditioning-independent).
     """
     t1 = poses_init.shape[0]
 
@@ -400,7 +423,13 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             h_band, bvec = add_odometry_chain(h_band, bvec, poses,
                                               rel_odom, odom_info)
             kept = jnp.ones_like(kept)  # the chain constrains every pose
-        delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
+        if solver == "cholesky":
+            from tpuslam.slam.cholesky import banded_solve_direct
+
+            delta = banded_solve_direct(h_band, -bvec)
+            cg_it = jnp.asarray(0)
+        else:
+            delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
         delta = delta * kept[:, None]
         poses = poses + delta
         poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
