@@ -54,3 +54,49 @@ class TestEkfFusedKernel:
         with pytest.raises(ValueError):
             ekf_fused_rollout(CFG, 0, batch=100, n_steps=5, tile_b=64,
                               interpret=True)
+
+
+class TestPfFusedKernel:
+    def test_noise_free_matches_xla_path(self, rng):
+        from tpuslam.filters.pf import PfConfig, pf_likelihood
+        from tpuslam.models.process import circular_step
+        from tpuslam.ops.pf_pallas import pf_fused_predict_weight
+
+        cfg = PfConfig(num_particles=64, weight_mode="log")
+        particles = jnp.asarray(
+            rng.normal(size=(64, 3)) * 0.3 + np.array([10.0, 0.0,
+                                                       np.pi / 2]),
+            jnp.float32)
+        log_w = jnp.full((64,), -np.log(64.0), jnp.float32)
+        z = jnp.asarray(rng.normal(size=(5, 2)) + [0.0, 10.0],
+                        jnp.float32)
+        p2, lw2 = pf_fused_predict_weight(cfg, 0, particles, log_w, z,
+                                          tile_n=64, noise_on=False,
+                                          interpret=True)
+        p_want = circular_step(particles, cfg.vel, cfg.yaw_rate, cfg.dt)
+        lw_want = log_w + pf_likelihood(cfg, p_want, z)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p_want),
+                                   atol=1e-6)
+        # Accumulation-order differences across landmark terms: lsb-level
+        # for magnitudes ~1e2-1e3.
+        np.testing.assert_allclose(np.asarray(lw2), np.asarray(lw_want),
+                                   atol=5e-3)
+
+    def test_tiling(self, rng):
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_pallas import pf_fused_predict_weight
+
+        cfg = PfConfig(num_particles=128, weight_mode="log")
+        particles = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        log_w = jnp.zeros((128,), jnp.float32)
+        z = jnp.zeros((5, 2), jnp.float32)
+        p_a, lw_a = pf_fused_predict_weight(cfg, 0, particles, log_w, z,
+                                            tile_n=64, noise_on=False,
+                                            interpret=True)
+        p_b, lw_b = pf_fused_predict_weight(cfg, 0, particles, log_w, z,
+                                            tile_n=128, noise_on=False,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lw_a), np.asarray(lw_b),
+                                   atol=1e-5)
