@@ -77,6 +77,21 @@ def bench_pf(particles=100_000, steps=100):
     return particles * steps / dt
 
 
+def bench_pf_pallas(particles=100_000, steps=100):
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_fused_rollout
+
+    cfg = PfConfig(num_particles=particles, weight_mode="log")
+
+    @jax.jit
+    def fn(k):
+        final, _ = pf_fused_rollout(cfg, k, steps)
+        return jnp.sum(final.particles) + jnp.sum(final.weights)
+
+    dt = _time_scalar(fn, jax.random.key(0))
+    return particles * steps / dt
+
+
 def bench_graph(n_steps=60):
     import math
 
@@ -157,8 +172,15 @@ def main():
     except Exception as e:
         print(f"# scan bench failed: {e}", file=sys.stderr)
     try:
+        pf_rate = bench_pf_pallas()
+        print(f"# PF (pallas fused): {pf_rate:.3e} particle-steps/s/chip",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# PF pallas bench failed: {e}", file=sys.stderr)
+    try:
         pf_rate = bench_pf()
-        print(f"# PF: {pf_rate:.3e} particle-steps/s/chip", file=sys.stderr)
+        print(f"# PF (xla scan): {pf_rate:.3e} particle-steps/s/chip",
+              file=sys.stderr)
     except Exception as e:  # secondary: never break the headline line
         print(f"# PF bench failed: {e}", file=sys.stderr)
     try:

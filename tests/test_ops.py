@@ -100,3 +100,15 @@ class TestPfFusedKernel:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(lw_a), np.asarray(lw_b),
                                    atol=1e-5)
+
+    def test_fused_rollout_interpret(self):
+        """Full fused rollout (interpret, noise-free kernel): runs and the
+        estimate tracks the deterministic truth orbit."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_pallas import pf_fused_rollout
+
+        cfg = PfConfig(num_particles=64, weight_mode="log")
+        final, (x_true, x_est) = pf_fused_rollout(
+            cfg, jax.random.key(0), 10, noise_on=False, interpret=True)
+        assert x_true.shape == (10, 3)
+        assert np.isfinite(np.asarray(x_est)).all()

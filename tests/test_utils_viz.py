@@ -112,3 +112,15 @@ class TestVizDemos:
         out = os.path.join(tmp_path, "ell.png")
         demo_ellipse.main(["--save", out])
         assert os.path.getsize(out) > 1000
+
+
+class TestProfilerTrace:
+    def test_trace_context(self, tmp_path):
+        from tpuslam.utils import trace
+
+        f = jax.jit(lambda x: x * 2 + 1)
+        with trace(str(tmp_path / "prof")):
+            float(f(jnp.ones(())))
+        # A trace directory with at least one event file must exist.
+        files = list((tmp_path / "prof").rglob("*"))
+        assert len(files) > 0

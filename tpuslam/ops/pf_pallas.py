@@ -159,7 +159,8 @@ def pf_fused_predict_weight(cfg: PfConfig, seed, particles, log_w, z,
     return p_out.T, lw_out[0]
 
 
-def pf_fused_step(cfg: PfConfig, state: PfState, key, seed):
+def pf_fused_step(cfg: PfConfig, state: PfState, key, seed,
+                  noise_on: bool = True, interpret: bool = False):
     """One PF step with the fused kernel; semantics of ``pf_step`` in
     log-weight mode (resample -> predict -> observe -> weight).
 
@@ -185,8 +186,10 @@ def pf_fused_step(cfg: PfConfig, state: PfState, key, seed):
 
     # Fused predict + weight (Pallas).
     log_w = jnp.log(jnp.maximum(weights, 1e-38))
-    particles, log_w = pf_fused_predict_weight(cfg, seed, particles,
-                                               log_w, z)
+    particles, log_w = pf_fused_predict_weight(
+        cfg, seed, particles, log_w, z,
+        tile_n=min(2048, cfg.num_particles), noise_on=noise_on,
+        interpret=interpret)
 
     # Normalize (logsumexp) with NaN->uniform reset
     # (particle_filter.py:226-237 semantics).
@@ -199,7 +202,8 @@ def pf_fused_step(cfg: PfConfig, state: PfState, key, seed):
 
 
 def pf_fused_rollout(cfg: PfConfig, key, n_steps: int,
-                     state0: PfState | None = None):
+                     state0: PfState | None = None, noise_on: bool = True,
+                     interpret: bool = False):
     """``n_steps`` fused PF steps under ``lax.scan``.
 
     Returns ``(final_state, (x_true, x_est))`` trajectory buffers.
@@ -213,7 +217,8 @@ def pf_fused_rollout(cfg: PfConfig, key, n_steps: int,
     def body(carry, inp):
         state, seed = carry
         k = inp
-        state, _ = pf_fused_step(cfg, state, k, seed)
+        state, _ = pf_fused_step(cfg, state, k, seed, noise_on=noise_on,
+                                 interpret=interpret)
         est = pf_estimate(cfg, state.particles, state.weights)
         return (state, seed + 7919), (state.x_true, est)
 
