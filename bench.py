@@ -64,7 +64,7 @@ def bench_ekf_pallas(batch=8192, steps=400):
 
 
 def bench_pf(particles=100_000, steps=100):
-    from tpuslam.filters import PfConfig, pf_init, pf_rollout
+    from tpuslam.filters import PfConfig, pf_rollout
 
     cfg = PfConfig(num_particles=particles, weight_mode="log")
 

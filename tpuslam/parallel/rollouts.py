@@ -15,11 +15,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from tpuslam.filters.ekf import (EkfConfig, ekf_init, ekf_rollout,
-                                 ekf_rollout_batch)
+from tpuslam.filters.ekf import EkfConfig, ekf_init, ekf_rollout
 from tpuslam.filters.pf import (PfConfig, PfState, pf_estimate,
-                                pf_likelihood, _normalize,
-                                effective_sample_size)
+                                pf_likelihood)
 from tpuslam.models.process import circular_step
 from tpuslam.core.se2 import world_to_robot
 from tpuslam.parallel.mesh import PARTICLE_AXIS, ROLLOUT_AXIS

@@ -29,7 +29,6 @@ unconstrained times, and yaw wrapping all match the dense path.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 import typing
 
