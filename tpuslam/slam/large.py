@@ -70,28 +70,51 @@ def window_pairs(valid: np.ndarray, window: int,
     Returns:
         :class:`EdgeList` of device arrays.
     """
-    t_bs, t_as, lms = [], [], []
     t1, num_l = valid.shape
-    for l in range(num_l):
-        times = np.nonzero(valid[:, l])[0]
-        cnt = 0
-        for i in range(len(times)):
-            for j in range(i + 1, len(times)):
-                if times[j] - times[i] > window:
-                    break
-                t_bs.append(times[i])
-                t_as.append(times[j])
-                lms.append(l)
-                cnt += 1
-                if max_pairs_per_lm and cnt >= max_pairs_per_lm:
-                    break
-            if max_pairs_per_lm and cnt >= max_pairs_per_lm:
-                break
-    e = len(t_bs)
+    # Vectorized construction: list all sightings sorted by (landmark,
+    # time), then for each lag k pair sighting i with sighting i+k when
+    # both belong to the same landmark and are within the window.  At 10k
+    # poses / 1k landmarks this takes ~max-sightings passes over the
+    # sighting list instead of a million-iteration Python loop.
+    tt, ll = np.nonzero(valid)  # times, landmarks of all sightings
+    order = np.lexsort((tt, ll))
+    tt, ll = tt[order], ll[order]
+    s = len(tt)
+    counts = np.bincount(ll, minlength=num_l)
+    k_max = int(counts.max()) if s else 0
+
+    t_bs, t_as, lms = [], [], []
+    for k in range(1, k_max + 1):
+        same_lm = ll[:-k] == ll[k:] if k < s else np.zeros(0, bool)
+        in_win = (tt[k:] - tt[:-k]) <= window if k < s else same_lm
+        sel = same_lm & in_win
+        t_bs.append(tt[:-k][sel])
+        t_as.append(tt[k:][sel])
+        lms.append(ll[:-k][sel])
+    t_b = np.concatenate(t_bs) if t_bs else np.zeros(0, np.int64)
+    t_a = np.concatenate(t_as) if t_as else np.zeros(0, np.int64)
+    lm = np.concatenate(lms) if lms else np.zeros(0, np.int64)
+
+    if max_pairs_per_lm is not None:
+        # Cap pairs per landmark (keep the shortest lags first, matching
+        # the spirit of the reference's insertion order).
+        order = np.lexsort((t_a - t_b, lm))
+        t_b, t_a, lm = t_b[order], t_a[order], lm[order]
+        rank = np.zeros(len(lm), np.int64)
+        if len(lm):
+            # position within each landmark group
+            first = np.r_[True, lm[1:] != lm[:-1]]
+            idx = np.arange(len(lm))
+            start = np.maximum.accumulate(np.where(first, idx, 0))
+            rank = idx - start
+        keep = rank < max_pairs_per_lm
+        t_b, t_a, lm = t_b[keep], t_a[keep], lm[keep]
+
+    e = len(t_b)
     return EdgeList(
-        t_b=jnp.asarray(np.asarray(t_bs, np.int32)),
-        t_a=jnp.asarray(np.asarray(t_as, np.int32)),
-        lm=jnp.asarray(np.asarray(lms, np.int32)),
+        t_b=jnp.asarray(t_b.astype(np.int32)),
+        t_a=jnp.asarray(t_a.astype(np.int32)),
+        lm=jnp.asarray(lm.astype(np.int32)),
         valid=jnp.ones((e,), bool))
 
 
