@@ -124,3 +124,11 @@ class TestProfilerTrace:
         # A trace directory with at least one event file must exist.
         files = list((tmp_path / "prof").rglob("*"))
         assert len(files) > 0
+
+    def test_demo_large_slam(self, tmp_path):
+        from tpuslam.viz import demo_large_slam
+
+        out = os.path.join(tmp_path, "large.png")
+        demo_large_slam.main(["--poses", "60", "--landmarks", "12",
+                              "--window", "15", "--save", out])
+        assert os.path.getsize(out) > 1000

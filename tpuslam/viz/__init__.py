@@ -9,6 +9,7 @@ Demos (mirroring the reference scripts 1:1, SURVEY.md section 2 rows
     python -m tpuslam.viz.demo_motion       # motion_model.py
     python -m tpuslam.viz.demo_transform    # mylib/transform.py demo
     python -m tpuslam.viz.demo_ellipse      # mylib/error_ellipse.py demo
+    python -m tpuslam.viz.demo_large_slam   # scaling tier (no ref analog)
 """
 
 from tpuslam.viz.render import (draw_error_ellipse, draw_fov,
