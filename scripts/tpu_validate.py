@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Serial TPU validation/benchmark script.
+
+Runs every TPU-dependent check in one process (the tunneled TPU is
+single-tenant and killed clients can wedge it for an hour+ - see
+CLAUDE.md), logging progress line-by-line so an external watcher can
+follow along.  Run detached:
+
+    nohup python scripts/tpu_validate.py > /tmp/tpu_validate.log 2>&1 &
+"""
+
+import time
+import traceback
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def stage(name):
+    def deco(fn):
+        def wrapped():
+            log(f"--- {name} ---")
+            t0 = time.time()
+            try:
+                fn()
+                log(f"{name}: OK in {time.time() - t0:.1f}s")
+            except Exception as e:
+                log(f"{name}: FAILED: {type(e).__name__}: {e}")
+                traceback.print_exc()
+        return wrapped
+    return deco
+
+
+@stage("warmup")
+def warmup():
+    log(f"devices: {jax.devices()}")
+    log(f"1+1 = {float(jnp.ones(()) + 1)}")
+
+
+@stage("ekf_pallas")
+def ekf_pallas():
+    from tpuslam.filters import EkfConfig
+    from tpuslam.ops import ekf_fused_rollout
+
+    cfg = EkfConfig()
+
+    def run(seed):
+        _, err = ekf_fused_rollout(cfg, seed, batch=8192, n_steps=400,
+                                   tile_b=2048)
+        return float(err.sum())
+
+    run(0)
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(1)
+        ts.append(time.perf_counter() - t0)
+    log(f"EKF pallas: {8192 * 400 / min(ts):.3e} steps/s")
+
+
+@stage("pf_fused")
+def pf_fused():
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_fused_rollout
+
+    cfg = PfConfig(num_particles=100_000, weight_mode="log")
+
+    @jax.jit
+    def fused(k):
+        final, (xt, xe) = pf_fused_rollout(cfg, k, 100)
+        return jnp.sum(jnp.square(xe[:, :2] - xt[:, :2])) / 100
+
+    mse = float(fused(jax.random.key(0)))
+    log(f"PF fused rmse: {mse ** 0.5:.3f}")
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fused(jax.random.key(1)))
+        ts.append(time.perf_counter() - t0)
+    log(f"PF fused: {100_000 * 100 / min(ts):.3e} particle-steps/s")
+
+
+@stage("pf_scan")
+def pf_scan():
+    from tpuslam.filters import PfConfig, pf_rollout
+
+    cfg = PfConfig(num_particles=100_000, weight_mode="log")
+
+    @jax.jit
+    def fn(k):
+        final, outs = pf_rollout(cfg, k, 100)
+        return jnp.sum(jnp.square(outs.x_est[:, :2]
+                                  - outs.x_true[:, :2])) / 100
+
+    mse = float(fn(jax.random.key(0)))
+    log(f"PF scan rmse: {mse ** 0.5:.3f}")
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(jax.random.key(1)))
+        ts.append(time.perf_counter() - t0)
+    log(f"PF scan: {100_000 * 100 / min(ts):.3e} particle-steps/s")
+
+
+@stage("graph_10k")
+def graph_10k():
+    import math
+
+    from tpuslam.core.angles import wrap_angle
+    from tpuslam.models.scan_sensor import ScanConfig
+    from tpuslam.slam import (GraphConfig, graph_solve_banded,
+                              make_large_scene, window_pairs)
+
+    n_poses, n_lm, window = 10000, 1000, 40
+    cfg = GraphConfig(
+        max_times=n_poses, num_landmarks=n_lm, max_gn_iters=10,
+        scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                        dist_gain=0.05, dir_sigma=math.radians(2.0),
+                        orient_sigma=math.radians(2.0)),
+        exact_jacobians=True)
+    t0 = time.time()
+    pt, po, obs = make_large_scene(cfg, jax.random.key(0), n_poses, n_lm,
+                                   radius=3000.0, odom_noise=0.1)
+    valid = np.asarray(obs.valid)
+    log(f"scene in {time.time() - t0:.1f}s; sightings={valid.sum()}")
+    el = window_pairs(valid, window=window)
+    log(f"edges: {el.t_b.shape[0]}")
+    rel_odom = po[1:] - po[:-1]
+    rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+
+    for solver in ("cg", "cholesky"):
+        @jax.jit
+        def fn(p):
+            res = graph_solve_banded(cfg, p, obs, el, band=window,
+                                     rel_odom=rel_odom,
+                                     odom_info=(100.0, 100.0, 100.0),
+                                     solver=solver)
+            return jnp.sum(res.poses) + res.delta_sum
+
+        t0 = time.time()
+        float(fn(po))
+        log(f"{solver}: compile+first solve {time.time() - t0:.1f}s")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(po))
+            ts.append(time.perf_counter() - t0)
+        log(f"{solver}: 10k-pose solve {min(ts):.3f}s (target < 1 s)")
+
+
+@stage("bench_json")
+def bench_json():
+    import io
+    import contextlib
+    import subprocess
+    import sys
+
+    out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                         text=True, timeout=3000)
+    log(f"bench stderr:\n{out.stderr[-2000:]}")
+    log(f"bench stdout: {out.stdout.strip()}")
+
+
+if __name__ == "__main__":
+    warmup()
+    ekf_pallas()
+    pf_fused()
+    pf_scan()
+    graph_10k()
+    log("ALL DONE")

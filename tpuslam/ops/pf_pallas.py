@@ -129,8 +129,14 @@ def pf_fused_predict_weight(cfg: PfConfig, seed, particles, log_w, z,
     """
     n = cfg.num_particles
     tile_n = min(tile_n, n)
-    if n % tile_n:
-        raise ValueError(f"num_particles {n} not a multiple of {tile_n}")
+    # Pad the particle axis to a tile multiple; padded lanes are pure
+    # ballast (outputs sliced off before any reduction).
+    n_pad = -(-n // tile_n) * tile_n
+    pad = n_pad - n
+    if pad:
+        particles = jnp.concatenate(
+            [particles, jnp.zeros((pad, 3), particles.dtype)], axis=0)
+        log_w = jnp.concatenate([log_w, jnp.zeros((pad,), log_w.dtype)])
     p_in = particles.T.astype(jnp.float32)  # (3, NP)
     lw_in = log_w[None, :].astype(jnp.float32)
 
@@ -141,7 +147,7 @@ def pf_fused_predict_weight(cfg: PfConfig, seed, particles, log_w, z,
                         memory_space=pltpu.VMEM)
     p_out, lw_out = pl.pallas_call(
         kernel,
-        grid=(n // tile_n,),
+        grid=(n_pad // tile_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -149,14 +155,14 @@ def pf_fused_predict_weight(cfg: PfConfig, seed, particles, log_w, z,
             row1,
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
         out_specs=(row3, row1),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), jnp.asarray(z, jnp.float32), p_in,
       lw_in)
-    return p_out.T, lw_out[0]
+    return p_out.T[:n], lw_out[0, :n]
 
 
 def pf_fused_step(cfg: PfConfig, state: PfState, key, seed,
