@@ -144,7 +144,8 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
     def fn(p):
         res = graph_solve_banded(cfg, p, obs, el, band=window,
                                  rel_odom=rel_odom,
-                                 odom_info=(100.0, 100.0, 100.0))
+                                 odom_info=(100.0, 100.0, 100.0),
+                                 solver="tridiag")
         return jnp.sum(res.poses) + res.delta_sum
 
     jfn = jax.jit(fn)

@@ -9,8 +9,13 @@ follow along.  Run detached:
     nohup python scripts/tpu_validate.py > /tmp/tpu_validate.log 2>&1 &
 """
 
+import os
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax

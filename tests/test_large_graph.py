@@ -213,3 +213,51 @@ class TestBandedCholesky:
                                   **kw)
         np.testing.assert_allclose(np.asarray(r_ch.poses),
                                    np.asarray(r_cg.poses), atol=2e-2)
+
+
+class TestTridiagSolver:
+    def test_solve_matches_dense(self, rng):
+        from tpuslam.slam.tridiag import banded_solve_tridiag
+
+        t1, band = 23, 4
+        d1 = band + 1
+        n = 3 * t1
+        b_mat = rng.normal(size=(n, n)) * (
+            np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= 3)
+        a = b_mat @ b_mat.T + np.eye(n) * 4.0
+        for i in range(t1):
+            for j in range(t1):
+                if abs(i - j) > band:
+                    a[3 * i:3 * i + 3, 3 * j:3 * j + 3] = 0
+        a = (a + a.T) / 2 + np.eye(n) * 4.0
+        hb = np.zeros((d1, t1, 3, 3))
+        for d in range(d1):
+            for i in range(t1 - d):
+                hb[d, i] = a[3 * i:3 * i + 3, 3 * (i + d):3 * (i + d) + 3]
+        x_true = rng.normal(size=n)
+        rhs = a @ x_true
+        for super_size in (None, 8):
+            x = banded_solve_tridiag(
+                jnp.asarray(hb, jnp.float32),
+                jnp.asarray(rhs.reshape(t1, 3), jnp.float32),
+                super_size=super_size)
+            rel = np.linalg.norm(np.asarray(x).ravel() - x_true) / \
+                np.linalg.norm(x_true)
+            assert rel < 1e-4
+
+    def test_solver_option_in_gn(self):
+        from tpuslam.core.angles import wrap_angle
+
+        noise = 0.3
+        cfg = _cfg(100, 20, max_gn_iters=10, exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(3), 100, 20,
+                                      radius=40.0, odom_noise=noise)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        el = window_pairs(np.asarray(obs.valid), window=20)
+        kw = dict(band=20, rel_odom=rel_odom,
+                  odom_info=(1 / noise ** 2,) * 3)
+        r_cg = graph_solve_banded(cfg, po, obs, el, solver="cg", **kw)
+        r_td = graph_solve_banded(cfg, po, obs, el, solver="tridiag", **kw)
+        np.testing.assert_allclose(np.asarray(r_td.poses),
+                                   np.asarray(r_cg.poses), atol=2e-2)

@@ -431,9 +431,11 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             consecutive-pose motion chain with information ``odom_info``
             is added (see :func:`add_odometry_chain`) - strongly
             recommended at scale.
-        solver: ``"cg"`` (block-Jacobi PCG, matrix-free) or
-            ``"cholesky"`` (exact blocked banded Cholesky,
-            :mod:`tpuslam.slam.cholesky` - conditioning-independent).
+        solver: ``"cg"`` (block-Jacobi PCG, matrix-free), ``"cholesky"``
+            (exact blocked banded Cholesky, :mod:`tpuslam.slam.cholesky`),
+            or ``"tridiag"`` (super-block tridiagonal Thomas,
+            :mod:`tpuslam.slam.tridiag` - the MXU-shaped production
+            solver for long trajectories).
     """
     t1 = poses_init.shape[0]
 
@@ -449,6 +451,11 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             from tpuslam.slam.cholesky import banded_solve_direct
 
             delta = banded_solve_direct(h_band, -bvec)
+            cg_it = jnp.asarray(0)
+        elif solver == "tridiag":
+            from tpuslam.slam.tridiag import banded_solve_tridiag
+
+            delta = banded_solve_tridiag(h_band, -bvec)
             cg_it = jnp.asarray(0)
         else:
             delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
