@@ -81,7 +81,8 @@ def bench_pf_pallas(particles=100_000, steps=100):
     from tpuslam.filters import PfConfig
     from tpuslam.ops import pf_fused_rollout
 
-    cfg = PfConfig(num_particles=particles, weight_mode="log")
+    cfg = PfConfig(num_particles=particles, weight_mode="log",
+                   resample_method="hist")
 
     @jax.jit
     def fn(k):

@@ -159,3 +159,38 @@ class TestPfStep:
             state, out = jax.jit(
                 lambda s, k: pf_step(cfg, s, k))(state, jax.random.key(0))
             assert state.particles.shape == (npart, 3)
+
+
+class TestHistResample:
+    def test_hist_matches_search(self, rng):
+        """Histogram selection == searchsorted selection away from exact
+        float ties."""
+        for trial in range(10):
+            n = 256
+            w = rng.random(n) + 1e-3
+            w = w / w.sum()
+            particles = jnp.asarray(
+                np.arange(n, dtype=np.float64)[:, None].repeat(3, 1))
+            key = jax.random.key(trial)
+            p_s, _ = systematic_resample(key, particles, jnp.asarray(w),
+                                         method="search")
+            p_h, _ = systematic_resample(key, particles, jnp.asarray(w),
+                                         method="hist")
+            # Selected indices are encoded in the particle values.
+            np.testing.assert_array_equal(np.asarray(p_s[:, 0]),
+                                          np.asarray(p_h[:, 0]))
+
+    def test_hist_distribution(self, rng):
+        """Counts per particle are within +-1 of N*w (systematic
+        resampling guarantee)."""
+        n = 1000
+        w = rng.random(n)
+        w = w / w.sum()
+        particles = jnp.asarray(
+            np.arange(n, dtype=np.float64)[:, None].repeat(3, 1))
+        p_h, _ = systematic_resample(jax.random.key(0), particles,
+                                     jnp.asarray(w), method="hist")
+        idx = np.asarray(p_h[:, 0]).astype(int)
+        counts = np.bincount(idx, minlength=n)
+        expect = n * w
+        assert np.all(np.abs(counts - expect) <= 1.0 + 1e-6)

@@ -186,7 +186,8 @@ def pf_fused_step(cfg: PfConfig, state: PfState, key, seed,
     ess = 1.0 / jnp.sum(jnp.square(state.weights), axis=-1)
     particles, weights = jax.lax.cond(
         ess < cfg.num_particles * cfg.ess_threshold_frac,
-        lambda p, w: systematic_resample(k_rs, p, w),
+        lambda p, w: systematic_resample(k_rs, p, w,
+                                         method=cfg.resample_method),
         lambda p, w: (p, w),
         state.particles, state.weights)
 
