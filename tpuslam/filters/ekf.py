@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuslam.core.angles import wrap_angle
+from tpuslam.core.precision import highest_matmul_precision
 from tpuslam.core.se2 import robot_to_world
 from tpuslam.models.process import circular_jacobian, circular_step
 
@@ -97,6 +98,7 @@ def ekf_init(cfg: EkfConfig, batch_shape: tuple = ()) -> EkfState:
     return EkfState(x_true=x0, x_dr=x0, x_hat=x0, cov=p0)
 
 
+@highest_matmul_precision
 def ekf_predict(cfg: EkfConfig, x_hat, cov):
     """EKF prediction (parity: extended_kalman_filter.py:109-115).
 
@@ -121,6 +123,7 @@ def _inv2x2(m):
     return inv / det[..., None, None]
 
 
+@highest_matmul_precision
 def ekf_update(cfg: EkfConfig, x_pre, cov_pre, z):
     """EKF measurement update (parity: extended_kalman_filter.py:117-128).
 

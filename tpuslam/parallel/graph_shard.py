@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tpuslam.core.angles import wrap_angle
+from tpuslam.core.precision import highest_matmul_precision
 from tpuslam.parallel.mesh import ROLLOUT_AXIS
 from tpuslam.slam.graph import GraphConfig, GraphObservations
 from tpuslam.slam.large import (EdgeList, add_odometry_chain,
@@ -41,6 +42,7 @@ def pad_edges(edges: EdgeList, multiple: int) -> EdgeList:
                                jnp.zeros((pad,), bool)]))
 
 
+@highest_matmul_precision
 def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
                          obs: GraphObservations, edges: EdgeList,
                          band: int, rel_odom=None,

@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpuslam.core.precision import highest_matmul_precision
+
 
 def _chol3(a):
     """Closed-form Cholesky of (..., 3, 3) SPD blocks (no LAPACK)."""
@@ -60,6 +62,7 @@ def _inv_lower3(l):
     ], axis=-2)
 
 
+@highest_matmul_precision
 def banded_cholesky(hb):
     """Factor block-banded SPD H into lower-banded L (same storage).
 
@@ -104,6 +107,7 @@ def banded_cholesky(hb):
     return jnp.swapaxes(cols, 0, 1)  # (D, T1, 3, 3) = lb[d, i]
 
 
+@highest_matmul_precision
 def banded_chol_solve(lb, b):
     """Solve H x = b given the banded factor from :func:`banded_cholesky`.
 

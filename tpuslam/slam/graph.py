@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuslam.core.angles import wrap_angle
+from tpuslam.core.precision import highest_matmul_precision
 from tpuslam.core.se2 import BASE_ANG
 from tpuslam.models.scan_sensor import ScanConfig
 
@@ -159,6 +160,7 @@ def _measurement_cov_world(cfg: GraphConfig, dist, bearing, pose_yaw):
     ], axis=-2)
 
 
+@highest_matmul_precision
 def build_edges(cfg: GraphConfig, poses, obs: GraphObservations, t_now,
                 pair_i, pair_j):
     """Batched pose-pair constraint construction.
@@ -294,6 +296,7 @@ def assemble(cfg: GraphConfig, edges, kept, pair_i, pair_j, t1: int):
     return h, b3.reshape(-1)
 
 
+@highest_matmul_precision
 def preconditioned_solve(h, b, refine_iters: int = 1):
     """Symmetric Jacobi-preconditioned solve with iterative refinement.
 
@@ -336,6 +339,7 @@ def _guards(cfg: GraphConfig, h):
     return det_ok & (cond < cfg.cond_max), det, cond
 
 
+@highest_matmul_precision
 def gn_iteration(cfg: GraphConfig, poses, obs: GraphObservations, t_now,
                  pair_i, pair_j):
     """One Gauss-Newton iteration: relinearize, assemble, guard, solve.
@@ -365,6 +369,7 @@ def gn_iteration(cfg: GraphConfig, poses, obs: GraphObservations, t_now,
     return new_poses, ok, delta_sum, det, cond
 
 
+@highest_matmul_precision
 def graph_solve(cfg: GraphConfig, poses_init, obs: GraphObservations,
                 t_now=None):
     """Full Gauss-Newton solve with re-linearization.

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuslam.core.angles import wrap_angle
+from tpuslam.core.precision import highest_matmul_precision
 from tpuslam.core.se2 import BASE_ANG
 from tpuslam.slam.graph import (GraphConfig, GraphObservations,
                                 _inv3x3, _measurement_cov_world)
@@ -118,17 +119,31 @@ def window_pairs(valid: np.ndarray, window: int,
         valid=jnp.ones((e,), bool))
 
 
+@highest_matmul_precision
 def build_edge_blocks(cfg: GraphConfig, poses, obs: GraphObservations,
-                      edges: EdgeList):
+                      edges: EdgeList, omega_poses=None):
     """Per-edge premultiplied blocks, gathered by index tensors.
 
     Identical math to the dense path's ``build_edges`` (parity:
     graph_based_slam.py:362-439) but batched over an explicit ``(E,)``
     edge list instead of a dense (pairs x landmarks) grid.
 
+    Args:
+        omega_poses: poses used to rotate the measurement covariances
+            into the world frame (defaults to ``poses``).  Passing the
+            initial guess FREEZES the information matrices across GN
+            iterations: the reference recomputes them from the current
+            estimates, which feeds the estimate back into its own
+            weights and - along the gauge-soft mode - can walk the
+            solution away at scale; frozen Omega is the standard
+            "information comes from measurements" choice and makes the
+            exact-Jacobian problem strictly linear.
+
     Returns dict of ``(E, ...)`` tensors: h_bb, h_ba, h_aa, b_b, b_a.
     (h_ab = h_ba^T by construction; the banded assembly exploits that.)
     """
+    if omega_poses is None:
+        omega_poses = poses
     tb, ta, lm = edges.t_b, edges.t_a, edges.lm
     d_b = obs.dist[tb, lm]
     d_a = obs.dist[ta, lm]
@@ -154,8 +169,10 @@ def build_edge_blocks(cfg: GraphConfig, poses, obs: GraphObservations,
         wrap_angle(wrap_angle(rel[:, 2]) - wrap_angle(owa - owb)),
     ], axis=-1)  # (E, 3)
 
-    cov = (_measurement_cov_world(cfg, d_a, dir_a, yaw_a)
-           + _measurement_cov_world(cfg, d_b, dir_b, yaw_b))
+    om_yaw_b = omega_poses[tb][:, 2]
+    om_yaw_a = omega_poses[ta][:, 2]
+    cov = (_measurement_cov_world(cfg, d_a, dir_a, om_yaw_a)
+           + _measurement_cov_world(cfg, d_b, dir_b, om_yaw_b))
     omega = _inv3x3(cov)
 
     m = mask.astype(poses.dtype)[:, None, None]
@@ -308,12 +325,14 @@ def make_banded_matvec(h_band):
     return matvec
 
 
+@highest_matmul_precision
 def banded_matvec(h_band, x):
     """y = H x with block-banded upper storage + symmetry (one-shot API;
     inside iterative solvers use :func:`make_banded_matvec` once)."""
     return make_banded_matvec(h_band)(x)
 
 
+@highest_matmul_precision
 def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
     """Block-Jacobi-preconditioned conjugate gradients on banded H.
 
@@ -414,11 +433,13 @@ class BandedSolveResult(typing.NamedTuple):
     cg_iters_last: jax.Array
 
 
+@highest_matmul_precision
 def graph_solve_banded(cfg: GraphConfig, poses_init,
                        obs: GraphObservations, edges: EdgeList, band: int,
                        cg_iters: int = 200, cg_tol: float = 1e-8,
                        rel_odom=None, odom_info=(100.0, 100.0, 400.0),
-                       solver: str = "cg"):
+                       solver: str = "cg",
+                       relinearize_omega: bool = False):
     """Gauss-Newton with banded assembly + CG inner solves.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -436,12 +457,20 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             or ``"tridiag"`` (super-block tridiagonal Thomas,
             :mod:`tpuslam.slam.tridiag` - the MXU-shaped production
             solver for long trajectories).
+        relinearize_omega: recompute the measurement information from the
+            CURRENT estimates each GN iteration (the reference's
+            behavior).  Default False: freeze Omega at the initial guess
+            (see :func:`build_edge_blocks`) - at hundreds of poses the
+            reweighting feedback can walk the solution along the
+            gauge-soft mode.
     """
     t1 = poses_init.shape[0]
 
     def gn_body(carry):
         poses, _, iters, _ = carry
-        blocks = build_edge_blocks(cfg, poses, obs, edges)
+        omega_poses = poses if relinearize_omega else poses_init
+        blocks = build_edge_blocks(cfg, poses, obs, edges,
+                                   omega_poses=omega_poses)
         h_band, bvec, kept = assemble_banded(cfg, blocks, edges, t1, band)
         if rel_odom is not None:
             h_band, bvec = add_odometry_chain(h_band, bvec, poses,
@@ -462,7 +491,12 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
         delta = delta * kept[:, None]
         poses = poses + delta
         poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
-        return poses, jnp.sum(delta * delta), iters + 1, cg_it
+        # Convergence metric on the wrap-invariant motion: a yaw that
+        # flips representation across +/-pi moves by ~2*pi in raw delta
+        # but by ~0 physically - raw deltas would keep GN at max_iters on
+        # long courses whose yaws sweep the boundary.
+        eff = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
+        return poses, jnp.sum(eff * eff), iters + 1, cg_it
 
     def gn_cond(carry):
         _, delta_sum, iters, _ = carry

@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpuslam.core.precision import highest_matmul_precision
+
 
 def band_to_tridiag(h_band, super_size: int):
     """Re-tile block-banded storage into super-block tridiagonal form.
@@ -88,8 +90,10 @@ def block_thomas_solve(diag, upper, b):
 
     System: ``diag[k] x_k + upper[k] x_{k+1} + upper[k-1]^T x_{k-1} = b_k``.
 
-    Forward elimination with dense Cholesky per super-block (MXU work),
-    then back substitution; both are ``lax.scan`` of length N.
+    Forward elimination with pivoted LU per super-block (dense MXU work;
+    LU rather than Cholesky because the f32 Schur recursion can push a
+    marginally-conditioned S_k out of strict PD range on TPU), then back
+    substitution; both are ``lax.scan`` of length N.
 
     Args:
         diag: ``(N, M, M)``; upper: ``(N-1, M, M)``; b: ``(N, M)``.
@@ -99,39 +103,47 @@ def block_thomas_solve(diag, upper, b):
     """
     n, m = diag.shape[0], diag.shape[1]
     up = jnp.concatenate([upper, jnp.zeros((1, m, m), diag.dtype)], axis=0)
-
-    def fwd(carry, inputs):
-        c_prev, y_prev, u_prev = carry  # chol(S_{k-1}), y_{k-1}, U_{k-1}
-        a_k, u_k, b_k = inputs
-        # W = S_{k-1}^{-1} U_{k-1} via the cached Cholesky factor.
-        w = jax.scipy.linalg.cho_solve((c_prev, True), u_prev)
-        s_k = a_k - u_prev.T @ w
-        rhs = b_k - w.T @ y_prev
-        c_k = jnp.linalg.cholesky(s_k)
-        return (c_k, rhs, u_k), (c_k, rhs)
-
     eye = jnp.eye(m, dtype=diag.dtype)
-    init = (eye, jnp.zeros((m,), diag.dtype), jnp.zeros((m, m),
-                                                        diag.dtype))
-    _, (chols, ys) = jax.lax.scan(fwd, init, (diag, up, b))
 
-    def bwd(x_next, inputs):
-        c_k, y_k, u_k = inputs
-        rhs = y_k - u_k @ x_next
-        x_k = jax.scipy.linalg.cho_solve((c_k, True), rhs)
-        return x_k, x_k
+    # TPU matmuls default to bf16 accumulation; the Schur-complement
+    # recursion needs full f32 or it loses positive-definiteness and the
+    # solve accuracy GN depends on.
+    with jax.default_matmul_precision("highest"):
+        def fwd(carry, inputs):
+            chol_prev, y_prev, u_prev = carry
+            a_k, u_k, b_k = inputs
+            # W = S_{k-1}^{-1} U_{k-1} via the cached Cholesky factor.
+            w = jax.scipy.linalg.cho_solve((chol_prev, True), u_prev)
+            s_k = a_k - u_prev.T @ w
+            s_k = 0.5 * (s_k + s_k.T)
+            rhs = b_k - w.T @ y_prev
+            chol_k = jnp.linalg.cholesky(s_k)
+            return (chol_k, rhs, u_k), (chol_k, rhs)
 
-    _, xs_rev = jax.lax.scan(
-        bwd, jnp.zeros((m,), diag.dtype),
-        (chols[::-1], ys[::-1], up[::-1]))
-    return xs_rev[::-1]
+        init = (eye, jnp.zeros((m,), diag.dtype),
+                jnp.zeros((m, m), diag.dtype))
+        _, (chols, ys) = jax.lax.scan(fwd, init, (diag, up, b))
+
+        def bwd(x_next, inputs):
+            chol_k, y_k, u_k = inputs
+            rhs = y_k - u_k @ x_next
+            x_k = jax.scipy.linalg.cho_solve((chol_k, True), rhs)
+            return x_k, x_k
+
+        _, xs_rev = jax.lax.scan(
+            bwd, jnp.zeros((m,), diag.dtype),
+            (chols[::-1], ys[::-1], up[::-1]))
+        return xs_rev[::-1]
 
 
+@highest_matmul_precision
 def banded_solve_tridiag(h_band, b, super_size: int | None = None):
     """One-shot H x = b via super-block tridiagonalization + block Thomas.
 
     Pads the trajectory axis to a super-block multiple with identity
-    blocks (decoupled; their solution is exactly 0 for zero RHS).
+    blocks (decoupled; their solution is exactly 0 for zero RHS), and
+    symmetrically Jacobi-prescales the system (the graph's 1e4 gauge
+    anchor otherwise pushes the f32 Schur recursion out of PD range).
     """
     d1, t1 = h_band.shape[0], h_band.shape[1]
     band = d1 - 1
@@ -145,7 +157,18 @@ def banded_solve_tridiag(h_band, b, super_size: int | None = None):
         b = jnp.concatenate([b, jnp.zeros((pad, 3), b.dtype)], axis=0)
     t_pad = t1 + pad
     n = t_pad // super_size
-    diag, upper = band_to_tridiag(h_band, super_size)
+
+    # Symmetric Jacobi scaling: s_i = 1/sqrt(H_ii) per scalar row.
+    diag_scal = jnp.diagonal(h_band[0], axis1=-2, axis2=-1)  # (T1, 3)
+    s = jax.lax.rsqrt(jnp.maximum(diag_scal, 1e-30))  # (T1, 3)
+    # hb'[d, i, a, bcol] = hb * s[i, a] * s[i+d, bcol]
+    idx = jnp.minimum(jnp.arange(t_pad)[None, :] + jnp.arange(d1)[:, None],
+                      t_pad - 1)
+    s_col = s[idx]  # (D, T1, 3)
+    h_scaled = h_band * s[None, :, :, None] * s_col[:, :, None, :]
+    b_scaled = b * s
+
+    diag, upper = band_to_tridiag(h_scaled, super_size)
     x = block_thomas_solve(diag, upper,
-                           b.reshape(n, 3 * super_size))
-    return x.reshape(t_pad, 3)[:t1]
+                           b_scaled.reshape(n, 3 * super_size))
+    return (x.reshape(t_pad, 3) * s)[:t1]
