@@ -439,7 +439,8 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        cg_iters: int = 200, cg_tol: float = 1e-8,
                        rel_odom=None, odom_info=(100.0, 100.0, 400.0),
                        solver: str = "cg",
-                       relinearize_omega: bool = False):
+                       relinearize_omega: bool = False,
+                       delta_tol: float | None = None):
     """Gauss-Newton with banded assembly + CG inner solves.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -463,8 +464,14 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             (see :func:`build_edge_blocks`) - at hundreds of poses the
             reweighting feedback can walk the solution along the
             gauge-soft mode.
+        delta_tol: GN stop threshold on ||dx||^2.  Defaults to the
+            reference's absolute ``cfg.delta_sum_threshold`` (0.01) -
+            which at 10k poses is below f32 solve noise, so GN runs to
+            max_gn_iters; pass e.g. ``1e-6 * T1`` (per-pose tolerance)
+            for long trajectories.
     """
     t1 = poses_init.shape[0]
+    tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
 
     def gn_body(carry):
         poses, _, iters, _ = carry
@@ -500,11 +507,10 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
 
     def gn_cond(carry):
         _, delta_sum, iters, _ = carry
-        return (delta_sum >= cfg.delta_sum_threshold) & (
+        return (delta_sum >= tol) & (
             iters < cfg.max_gn_iters)
 
-    init = (poses_init,
-            jnp.asarray(cfg.delta_sum_threshold, poses_init.dtype),
+    init = (poses_init, jnp.asarray(tol, poses_init.dtype),
             jnp.asarray(0), jnp.asarray(0))
     poses, delta_sum, iters, cg_it = jax.lax.while_loop(
         gn_cond, gn_body, init)
