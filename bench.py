@@ -93,12 +93,14 @@ def bench_pf_pallas(particles=100_000, steps=100):
     return particles * steps / dt
 
 
-def bench_graph(n_steps=60):
+def bench_graph(n_steps=18):
+    """The reference demo course itself: 18 frames, per-frame GN
+    re-estimation of the whole trajectory (graph_based_slam.py runs this
+    at 0.5 Hz = 36 s wall)."""
     import math
 
     from tpuslam.models.scan_sensor import ScanConfig
-    from tpuslam.slam import GraphConfig, SlamSceneConfig, graph_solve, \
-        simulate
+    from tpuslam.slam import GraphConfig, SlamSceneConfig, slam_rollout
 
     cfg = GraphConfig(
         max_times=n_steps + 1, num_landmarks=9,
@@ -107,14 +109,13 @@ def bench_graph(n_steps=60):
                         orient_sigma=math.radians(2.0)),
         guard="cheap")
     scene = SlamSceneConfig()
-    traj = simulate(scene, cfg, jax.random.key(0), n_steps)
 
     @jax.jit
-    def fn(p, o):
-        res = graph_solve(cfg, p, o)
-        return jnp.sum(res.poses) + res.delta_sum
+    def fn(k):
+        traj, poses_est, frames = slam_rollout(scene, cfg, k, n_steps)
+        return jnp.sum(poses_est) + jnp.sum(frames.delta_sum)
 
-    dt = _time_scalar(fn, traj.poses_odom, traj.obs)
+    dt = _time_scalar(fn, jax.random.key(0))
     return dt
 
 
@@ -188,7 +189,8 @@ def main():
         print(f"# PF bench failed: {e}", file=sys.stderr)
     try:
         graph_dt = bench_graph()
-        print(f"# graph solve (61 poses, full GN): {graph_dt*1e3:.1f} ms",
+        print(f"# reference demo course (18 frames, sim + per-frame GN; "
+              f"36 s wall in the reference): {graph_dt*1e3:.1f} ms",
               file=sys.stderr)
     except Exception as e:
         print(f"# graph bench failed: {e}", file=sys.stderr)
