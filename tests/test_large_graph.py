@@ -261,3 +261,26 @@ class TestTridiagSolver:
         r_td = graph_solve_banded(cfg, po, obs, el, solver="tridiag", **kw)
         np.testing.assert_allclose(np.asarray(r_td.poses),
                                    np.asarray(r_cg.poses), atol=2e-2)
+
+
+class TestDamping:
+    def test_damped_reference_formulation_stays_bounded(self):
+        """The reference-compatible formulation (inconsistent Jacobians +
+        relinearized Omega) diverges at hundreds of poses; with Levenberg
+        damping it must stay bounded and finite."""
+        from tpuslam.core.angles import wrap_angle
+
+        cfg = _cfg(200, 40, max_gn_iters=15)  # exact_jacobians=False
+        pt, po, obs = make_large_scene(cfg, jax.random.key(0), 200, 40,
+                                      radius=60.0, odom_noise=0.1)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        el = window_pairs(np.asarray(obs.valid), window=30)
+        res = graph_solve_banded(
+            cfg, po, obs, el, band=30, rel_odom=rel_odom,
+            odom_info=(100.0,) * 3, relinearize_omega=True, damping=1.0)
+        est = np.asarray(res.poses)
+        assert np.isfinite(est).all()
+        err = np.sqrt(((est[:, :2] - np.asarray(pt)[:, :2]) ** 2)
+                      .sum(-1).mean())
+        assert err < 10.0  # bounded (odometry drift is ~1.5 m)

@@ -184,3 +184,26 @@ class TestScanSensor:
         s = scan_true(self.CFG, poses, jnp.asarray(self.LMS))
         assert s.dist.shape == (6, 9)
         assert s.valid.shape == (6, 9)
+
+
+class TestOmegaGuardFlag:
+    def test_guard_off_reproduces_reference_division(self):
+        """With omega_guard=False and w=0 the reference raises
+        ZeroDivisionError (motion_model.py:50,73); Python-scalar inputs
+        reproduce that exactly, array inputs produce non-finite values."""
+        cfg = MotionConfig(dt=1.0, omega_guard=False)
+        pose = jnp.array([0.0, 0.0, 0.0])
+        with pytest.raises(ZeroDivisionError):
+            motion_mean(cfg, pose, 1.0, 0.0)
+        out = np.asarray(motion_mean(cfg, pose, jnp.asarray(1.0),
+                                     jnp.asarray(0.0)))
+        assert not np.isfinite(out[:2]).all()
+
+    def test_guard_on_identical_for_nonzero_omega(self, rng):
+        """The guard changes nothing when w != 0."""
+        on = MotionConfig(dt=0.5, omega_guard=True)
+        off = MotionConfig(dt=0.5, omega_guard=False)
+        pose = jnp.asarray(rng.normal(size=3))
+        a = np.asarray(motion_mean(on, pose, 1.3, 0.7))
+        b = np.asarray(motion_mean(off, pose, 1.3, 0.7))
+        np.testing.assert_allclose(a, b, atol=1e-6)

@@ -440,7 +440,8 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        rel_odom=None, odom_info=(100.0, 100.0, 400.0),
                        solver: str = "cg",
                        relinearize_omega: bool = False,
-                       delta_tol: float | None = None):
+                       delta_tol: float | None = None,
+                       damping: float = 0.0):
     """Gauss-Newton with banded assembly + CG inner solves.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -469,6 +470,11 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             which at 10k poses is below f32 solve noise, so GN runs to
             max_gn_iters; pass e.g. ``1e-6 * T1`` (per-pose tolerance)
             for long trajectories.
+        damping: Levenberg term - adds ``damping * diag(H)`` to the
+            diagonal blocks each iteration.  Stabilizes the
+            reference-compatible formulation (``exact_jacobians=False``,
+            ``relinearize_omega=True``), whose GN otherwise wanders at
+            hundreds of poses; 0 (default) is pure Gauss-Newton.
     """
     t1 = poses_init.shape[0]
     tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
@@ -483,6 +489,10 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             h_band, bvec = add_odometry_chain(h_band, bvec, poses,
                                               rel_odom, odom_info)
             kept = jnp.ones_like(kept)  # the chain constrains every pose
+        if damping:
+            diag = jnp.diagonal(h_band[0], axis1=-2, axis2=-1)  # (T1, 3)
+            h_band = h_band.at[0].add(
+                damping * jax.vmap(jnp.diag)(diag))
         if solver == "cholesky":
             from tpuslam.slam.cholesky import banded_solve_direct
 
