@@ -50,9 +50,10 @@ def render_frame(ax1, ax2, cfg, outs, upto):
                  arrowprops=dict(arrowstyle="->", color="black"))
 
     finalize_axes(ax1, "Localization by PF")
-    # Zoom window sized by the chi of Q's position block * 3 (:322-324).
+    # Zoom window sized by calc_chi (the major-axis length) of Q's
+    # position block, times 3 (particle_filter.py:322-324).
     q2 = np.diag(np.asarray(cfg.q_std[:2])) ** 2
-    ee_l = ellipse_params(q2, 99.0)[0] / 2.0 * 3
+    ee_l = ellipse_params(q2, 99.0)[0] * 3
     ax2.set_xlim(x_true[-1, 0] - ee_l, x_true[-1, 0] + ee_l)
     ax2.set_ylim(x_true[-1, 1] - ee_l, x_true[-1, 1] + ee_l)
     ax2.set_xlabel("x [m]")
