@@ -160,8 +160,6 @@ def graph_10k():
 
 @stage("bench_json")
 def bench_json():
-    import io
-    import contextlib
     import subprocess
     import sys
 

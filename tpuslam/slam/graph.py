@@ -312,8 +312,11 @@ def preconditioned_solve(h, b, refine_iters: int = 1):
     hs = h * s[:, None] * s[None, :]
     bs = b * s
 
+    # Factor once; refinement passes are two cheap triangular solves.
+    lu, piv = jax.scipy.linalg.lu_factor(hs)
+
     def solve(rhs):
-        return jnp.linalg.solve(hs, rhs)
+        return jax.scipy.linalg.lu_solve((lu, piv), rhs)
 
     y = solve(bs)
     for _ in range(refine_iters):
