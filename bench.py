@@ -47,7 +47,7 @@ def bench_ekf_scan(batch=8192, steps=400):
     return batch * steps / dt
 
 
-def bench_ekf_pallas(batch=8192, steps=400):
+def bench_ekf_pallas(batch=2097152, steps=400):
     """Fused Pallas kernel path (the framework's fast path)."""
     from tpuslam.filters import EkfConfig
     from tpuslam.ops import ekf_fused_rollout

@@ -55,8 +55,8 @@ def ekf_pallas():
     cfg = EkfConfig()
 
     def run(seed):
-        _, err = ekf_fused_rollout(cfg, seed, batch=8192, n_steps=400,
-                                   tile_b=2048)
+        _, err = ekf_fused_rollout(cfg, seed, batch=2097152,
+                                   n_steps=400, tile_b=8192)
         return float(err.sum())
 
     run(0)
@@ -65,7 +65,7 @@ def ekf_pallas():
         t0 = time.perf_counter()
         run(1)
         ts.append(time.perf_counter() - t0)
-    log(f"EKF pallas: {8192 * 400 / min(ts):.3e} steps/s")
+    log(f"EKF pallas: {2097152 * 400 / min(ts):.3e} steps/s")
 
 
 @stage("pf_fused")
@@ -138,13 +138,14 @@ def graph_10k():
     rel_odom = po[1:] - po[:-1]
     rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
 
-    for solver in ("cg", "cholesky"):
+    for solver in ("tridiag", "cholesky", "cg"):
         @jax.jit
         def fn(p):
             res = graph_solve_banded(cfg, p, obs, el, band=window,
                                      rel_odom=rel_odom,
                                      odom_info=(100.0, 100.0, 100.0),
-                                     solver=solver)
+                                     solver=solver,
+                                     delta_tol=1e-6 * n_poses)
             return jnp.sum(res.poses) + res.delta_sum
 
         t0 = time.time()
@@ -156,6 +157,15 @@ def graph_10k():
             float(fn(po))
             ts.append(time.perf_counter() - t0)
         log(f"{solver}: 10k-pose solve {min(ts):.3f}s (target < 1 s)")
+
+
+@stage("demo_course")
+def demo_course():
+    import bench
+
+    dt = bench.bench_graph()
+    log(f"reference demo course (18 frames): {dt*1e3:.1f} ms "
+        f"(reference wall: 36000 ms)")
 
 
 @stage("bench_json")
@@ -175,4 +185,5 @@ if __name__ == "__main__":
     pf_fused()
     pf_scan()
     graph_10k()
+    demo_course()
     log("ALL DONE")
