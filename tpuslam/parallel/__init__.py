@@ -1,10 +1,12 @@
 """Device meshes, sharded Monte-Carlo sweeps, particle parallelism."""
 
-from tpuslam.parallel.graph_shard import pad_edges, sharded_gn_iteration
+from tpuslam.parallel.graph_shard import (pad_edges,
+                                           sharded_gn_iteration,
+                                           sharded_graph_solve)
 from tpuslam.parallel.mesh import (PARTICLE_AXIS, ROLLOUT_AXIS, make_mesh,
                                    replicated, rollout_sharding)
 from tpuslam.parallel.rollouts import sharded_ekf_sweep, sharded_pf_step
 
 __all__ = ["PARTICLE_AXIS", "ROLLOUT_AXIS", "make_mesh", "replicated",
            "rollout_sharding", "sharded_ekf_sweep", "sharded_pf_step",
-           "pad_edges", "sharded_gn_iteration"]
+           "pad_edges", "sharded_gn_iteration", "sharded_graph_solve"]

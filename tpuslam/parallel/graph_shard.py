@@ -107,3 +107,32 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
         out_specs=(P(), P(), P()),
         check_vma=False)
     return fn(poses, edges.t_b, edges.t_a, edges.lm, edges.valid)
+
+
+def sharded_graph_solve(cfg: GraphConfig, mesh, poses_init,
+                        obs: GraphObservations, edges: EdgeList, band: int,
+                        max_iters: int | None = None, delta_tol=None,
+                        **iteration_kwargs):
+    """Full Gauss-Newton with edge-sharded assembly.
+
+    Iterates :func:`sharded_gn_iteration` (outer loop on the host: each
+    iteration is one jitted SPMD program) until ``||dx||^2 < delta_tol``
+    or ``max_iters``.  The multi-chip twin of
+    :func:`tpuslam.slam.large.graph_solve_banded`.
+
+    Returns ``(poses, n_iters, last_delta_sum)``.
+    """
+    if max_iters is None:
+        max_iters = cfg.max_gn_iters
+    if delta_tol is None:
+        delta_tol = cfg.delta_sum_threshold
+    step = jax.jit(lambda p: sharded_gn_iteration(
+        cfg, mesh, p, obs, edges, band, **iteration_kwargs))
+    poses = poses_init
+    delta_sum = float("inf")
+    it = 0
+    while it < max_iters and delta_sum >= delta_tol:
+        poses, ds, _ = step(poses)
+        delta_sum = float(ds)
+        it += 1
+    return poses, it, delta_sum
