@@ -50,15 +50,19 @@ class TestProfiling:
 
 
 class TestSimDriver:
-    def test_rollout_matches_filter_rollout(self):
-        from tpuslam.filters import ekf_rollout
-
+    def test_rollout_matches_manual_loop(self):
+        """Generic rollout == manually iterating the step with the same
+        per-step keys.  (ekf_rollout itself uses a bulk-noise stream and
+        is pinned by its own golden test.)"""
         cfg = EkfConfig()
         final1, outs1 = rollout(lambda s, k: ekf_step(cfg, s, k),
                                 ekf_init(cfg), jax.random.key(3), 20)
-        final2, outs2 = ekf_rollout(cfg, jax.random.key(3), 20)
-        np.testing.assert_allclose(np.asarray(outs1.x_pre),
-                                   np.asarray(outs2.x_pre), atol=1e-6)
+        keys = jax.random.split(jax.random.key(3), 20)
+        state = ekf_init(cfg)
+        for i in range(20):
+            state, out = ekf_step(cfg, state, keys[i])
+        np.testing.assert_allclose(np.asarray(final1.x_hat),
+                                   np.asarray(state.x_hat), atol=1e-5)
 
     def test_rollout_batch(self):
         cfg = EkfConfig()

@@ -213,14 +213,31 @@ def ekf_rollout(cfg: EkfConfig, key, n_steps: int,
     stay on device as ``(n_steps, ...)`` buffers for the renderer or the
     metrics reducers.
 
+    All noise is drawn in two bulk threefry calls up front and scanned
+    over (per-step key splitting dominates the scan otherwise); the
+    stream differs from per-step :func:`ekf_step` draws but is
+    distributionally identical.
+
     Returns:
         ``(final_state, outs)`` where each field of ``outs`` is stacked
         along a leading time axis.
     """
     if state0 is None:
         state0 = ekf_init(cfg)
-    keys = jax.random.split(key, n_steps)
-    return jax.lax.scan(lambda s, k: ekf_step(cfg, s, k), state0, keys)
+    k_obs, k_dr = jax.random.split(key)
+    batch_shape = state0.x_true.shape[:-1]
+    dtype = state0.x_true.dtype
+    obs_noise = jax.random.normal(
+        k_obs, (n_steps,) + batch_shape + (2,),
+        dtype=dtype) * jnp.asarray(cfg.r_act_std)
+    dr_noise = jax.random.normal(
+        k_dr, (n_steps,) + batch_shape + (3,),
+        dtype=dtype) * jnp.asarray(cfg.q_act_std)
+
+    def body(s, noise):
+        return ekf_step_with_noise(cfg, s, noise[0], noise[1])
+
+    return jax.lax.scan(body, state0, (obs_noise, dr_noise))
 
 
 def ekf_rollout_batch(cfg: EkfConfig, keys, n_steps: int):
