@@ -73,7 +73,8 @@ def pf_fused():
     from tpuslam.filters import PfConfig
     from tpuslam.ops import pf_fused_rollout
 
-    cfg = PfConfig(num_particles=100_000, weight_mode="log")
+    cfg = PfConfig(num_particles=100_000, weight_mode="log",
+                   resample_method="hist")
 
     @jax.jit
     def fused(k):

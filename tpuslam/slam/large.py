@@ -15,10 +15,12 @@ the scaling redesign:
   * **Block-banded storage**: with pairs bounded by ``W``, H is block-
     banded with ``D = W+1`` block diagonals; storage is ``(D, T1, 3, 3)``
     (upper band; symmetry gives the lower half).
-  * **Matrix-free solve**: block-Jacobi-preconditioned conjugate
-    gradients.  One banded matvec is ``D`` batched (T1, 3, 3) x (T1, 3)
-    multiplies - fully parallel VPU work, no sequential factorization -
-    so the solve is O(iters * D * T * 9) flops with perfect batching.
+  * **Three solvers**: super-block tridiagonal Thomas
+    (:mod:`tpuslam.slam.tridiag`, dense MXU-shaped blocks - the
+    production path, 10k poses in ~0.13 s), blocked 3x3 banded Cholesky
+    (:mod:`tpuslam.slam.cholesky`), and matrix-free block-Jacobi
+    preconditioned CG (:func:`cg_solve`, one banded matvec = two batched
+    ``(D, T1, 3, 3)`` einsums).
   * Same edge math as the dense path (:func:`tpuslam.slam.graph
     .build_edges` parity with graph_based_slam.py:362-439), gathered per
     edge instead of materialized over all pairs.
@@ -442,7 +444,7 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        relinearize_omega: bool = False,
                        delta_tol: float | None = None,
                        damping: float = 0.0):
-    """Gauss-Newton with banded assembly + CG inner solves.
+    """Gauss-Newton with banded assembly + selectable inner solver.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
     relinearize -> assemble -> solve -> apply loop and the same
