@@ -43,6 +43,64 @@ class TestWindowPairs:
         assert pairs == {(0, 3)}  # (0,9) and (3,9) exceed window 4
 
 
+class TestWindowPairsDevice:
+    """Jittable edge construction == host construction (as an edge SET)."""
+
+    @staticmethod
+    def _edge_set(el, n=None):
+        tb = np.asarray(el.t_b)
+        ta = np.asarray(el.t_a)
+        lm = np.asarray(el.lm)
+        v = np.asarray(el.valid)
+        return {(int(b), int(a), int(m))
+                for b, a, m, ok in zip(tb, ta, lm, v) if ok}
+
+    def test_matches_host_random(self, rng):
+        from tpuslam.slam import (count_window_pairs, window_pairs_device)
+
+        valid = rng.random((40, 6)) < 0.4
+        for window in (1, 3, 40):
+            host = window_pairs(valid, window=window)
+            n_exact = count_window_pairs(valid, window)
+            assert host.t_b.shape[0] == n_exact
+            dev, n = jax.jit(
+                lambda v: window_pairs_device(v, window, n_exact + 5),
+                static_argnums=())(jnp.asarray(valid))
+            assert int(n) == n_exact
+            assert self._edge_set(dev) == self._edge_set(host)
+
+    def test_truncation_reports_count(self, rng):
+        from tpuslam.slam import window_pairs_device
+
+        valid = jnp.asarray(rng.random((20, 3)) < 0.8)
+        el, n = window_pairs_device(valid, window=10, max_edges=4)
+        assert int(n) > 4  # true count reported
+        assert int(jnp.sum(el.valid)) == 4  # list truncated to capacity
+
+    def test_solve_with_device_edges(self, rng):
+        """Banded GN solve driven end-to-end from device-built edges
+        matches the host-built edge list's solution."""
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.slam import (count_window_pairs, make_large_scene,
+                                  window_pairs_device)
+
+        cfg = _cfg(60, 12, exact_jacobians=True, max_gn_iters=5)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(1), 60, 12,
+                                       radius=15.0, odom_noise=0.05)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        w = 10
+        n = count_window_pairs(np.asarray(obs.valid), w)
+        el_host = window_pairs(np.asarray(obs.valid), window=w)
+        el_dev, _ = window_pairs_device(obs.valid, w, n)
+        res_h = graph_solve_banded(cfg, po, obs, el_host, band=w,
+                                   rel_odom=rel_odom, solver="tridiag")
+        res_d = graph_solve_banded(cfg, po, obs, el_dev, band=w,
+                                   rel_odom=rel_odom, solver="tridiag")
+        np.testing.assert_allclose(np.asarray(res_d.poses),
+                                   np.asarray(res_h.poses), atol=1e-4)
+
+
 class TestBandedVsDense:
     def _setup(self, t_steps=8, seed=0):
         from tpuslam.slam import SlamSceneConfig, simulate

@@ -112,6 +112,111 @@ class TestShardedGraphAssembly:
                                    atol=5e-3)
 
 
+class TestShardedBandedCg:
+    """Pose-sharded banded CG (halo-exchange matvec) vs single device."""
+
+    def _system(self, t1=80, band=10, seed=5):
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, make_large_scene,
+                                  window_pairs)
+        from tpuslam.slam.large import (add_odometry_chain,
+                                        assemble_banded, build_edge_blocks)
+
+        cfg = GraphConfig(
+            max_times=t1, num_landmarks=16, exact_jacobians=True,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        pt, po, obs = make_large_scene(cfg, jax.random.key(seed), t1, 16,
+                                       radius=25.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=band)
+        blocks = build_edge_blocks(cfg, po, obs, el)
+        h_band, bvec, _ = assemble_banded(cfg, blocks, el, t1, band)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        h_band, bvec = add_odometry_chain(h_band, bvec, po, rel_odom,
+                                          (100.0, 100.0, 400.0))
+        return h_band, bvec
+
+    def test_matches_single_device_cg(self):
+        from tpuslam.parallel import make_mesh, sharded_cg_solve
+        from tpuslam.slam.large import cg_solve
+
+        h_band, bvec = self._system()
+        mesh = make_mesh()
+        x_s, it_s = jax.jit(
+            lambda h, b: sharded_cg_solve(mesh, h, b))(h_band, -bvec)
+        x_1, _ = cg_solve(h_band, -bvec)
+        np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_1),
+                                   atol=1e-4)
+
+    def test_matvec_residual_is_small(self):
+        """H x_solved ~= b through the single-device banded matvec."""
+        from tpuslam.parallel import make_mesh, sharded_cg_solve
+        from tpuslam.slam.large import banded_matvec
+
+        h_band, bvec = self._system(seed=6)
+        mesh = make_mesh()
+        x, _ = jax.jit(
+            lambda h, b: sharded_cg_solve(mesh, h, b, tol=1e-12))(
+                h_band, -bvec)
+        r = np.asarray(banded_matvec(h_band, x) + bvec)
+        assert np.abs(r).max() < 1e-2 * max(1.0, np.abs(bvec).max())
+
+    def test_single_device_mesh(self):
+        """n_dev = 1 degenerates to the local solver (zero halos)."""
+        from tpuslam.parallel import make_mesh, sharded_cg_solve
+        from tpuslam.slam.large import cg_solve
+
+        h_band, bvec = self._system(seed=7)
+        mesh = make_mesh(n_rollout=1)
+        x_s, _ = jax.jit(
+            lambda h, b: sharded_cg_solve(mesh, h, b))(h_band, -bvec)
+        x_1, _ = cg_solve(h_band, -bvec)
+        np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_1),
+                                   atol=1e-4)
+
+    def test_shard_narrower_than_band_raises(self):
+        from tpuslam.parallel import make_mesh, sharded_cg_solve
+
+        h_band, bvec = self._system(t1=16, band=4)  # ell=2 < band
+        mesh = make_mesh()
+        with pytest.raises(ValueError):
+            sharded_cg_solve(mesh, h_band, -bvec)
+
+    def test_gn_iteration_with_sharded_solver(self):
+        """Edge-sharded assembly + pose-sharded CG == replicated CG."""
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, make_large_scene,
+                                  window_pairs)
+        from tpuslam.parallel import make_mesh, sharded_gn_iteration
+
+        cfg = GraphConfig(
+            max_times=64, num_landmarks=12, exact_jacobians=True,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        pt, po, obs = make_large_scene(cfg, jax.random.key(8), 64, 12,
+                                       radius=20.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=8)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        mesh = make_mesh()
+        kw = dict(rel_odom=rel_odom, cg_tol=1e-10)
+        p_rep, d_rep, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh, p, obs, el, 8,
+                                           solver="cg", **kw))(po)
+        p_shd, d_shd, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh, p, obs, el, 8,
+                                           solver="sharded_cg", **kw))(po)
+        np.testing.assert_allclose(np.asarray(p_shd), np.asarray(p_rep),
+                                   atol=1e-4)
+
+
 class TestShardedGraphSolve:
     def test_full_solve_matches_single_device(self):
         """Multi-iteration edge-sharded solve == graph_solve_banded."""

@@ -121,6 +121,26 @@ def bivariate_normal_pdf(dx, dy, sigma_x, sigma_y, sigma_xy=0.0):
     return jnp.exp(-expo) / norm
 
 
+def resample_indices(key, weights, method: str = "search"):
+    """Systematic-resampling index selection (see
+    :func:`systematic_resample`); returns the ``(N,)`` gather indices."""
+    n = weights.shape[-1]
+    cum = jnp.cumsum(weights, axis=-1)
+    offs = jax.random.uniform(key, dtype=weights.dtype)  # in units of 1/n
+    if method == "hist":
+        # t_j = ceil(n * cum_j - offs); out_idx[i] = #{j : t_j <= i}
+        #     = searchsorted(cum, (i + offs)/n, 'left') for float-generic
+        # inputs, computed as a histogram + cumsum.
+        t = jnp.ceil(n * cum - offs).astype(jnp.int32)
+        t = jnp.clip(t, 0, n)
+        hist = jnp.zeros((n + 1,), jnp.int32).at[t].add(1)
+        idx = jnp.cumsum(hist[:-1])
+    else:
+        u = (jnp.arange(n, dtype=weights.dtype) + offs) / n
+        idx = jnp.searchsorted(cum, u, side="left")
+    return jnp.clip(idx, 0, n - 1)
+
+
 def systematic_resample(key, particles, weights, method: str = "search"):
     """Low-variance systematic resampling, vectorized.
 
@@ -142,21 +162,7 @@ def systematic_resample(key, particles, weights, method: str = "search"):
         (particles_resampled, uniform_weights).
     """
     n = weights.shape[-1]
-    cum = jnp.cumsum(weights, axis=-1)
-    offs = jax.random.uniform(key, dtype=weights.dtype)  # in units of 1/n
-    if method == "hist":
-        # t_j = ceil(n * cum_j - offs); out_idx[i] = #{j : t_j <= i}
-        #     = searchsorted(cum, (i + offs)/n, 'left') for float-generic
-        # inputs, computed as a histogram + cumsum.
-        t = jnp.ceil(n * cum - offs).astype(jnp.int32)
-        t = jnp.clip(t, 0, n)
-        hist = jnp.zeros((n + 1,), jnp.int32).at[t].add(1)
-        idx = jnp.cumsum(hist[:-1])
-        idx = jnp.clip(idx, 0, n - 1)
-    else:
-        u = (jnp.arange(n, dtype=weights.dtype) + offs) / n
-        idx = jnp.searchsorted(cum, u, side="left")
-        idx = jnp.clip(idx, 0, n - 1)
+    idx = resample_indices(key, weights, method)
     return particles[..., idx, :], jnp.full_like(weights, 1.0 / n)
 
 

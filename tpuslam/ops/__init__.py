@@ -1,8 +1,13 @@
 """Pallas TPU kernels for the hot paths."""
 
 from tpuslam.ops.ekf_pallas import ekf_fused_rollout
-from tpuslam.ops.pf_pallas import (pf_fused_predict_weight, pf_fused_step,
-                                   pf_fused_rollout)
+from tpuslam.ops.pf_pallas import (PfFusedState, pf_fused_init,
+                                   pf_fused_predict_weight,
+                                   pf_fused_predict_weight_stats,
+                                   pf_fused_rollout, pf_fused_step,
+                                   pf_fused_step_stats, pf_fused_to_state)
 
 __all__ = ["ekf_fused_rollout", "pf_fused_predict_weight",
-           "pf_fused_step", "pf_fused_rollout"]
+           "pf_fused_predict_weight_stats", "PfFusedState",
+           "pf_fused_init", "pf_fused_to_state", "pf_fused_step",
+           "pf_fused_step_stats", "pf_fused_rollout"]

@@ -47,17 +47,33 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
                          obs: GraphObservations, edges: EdgeList,
                          band: int, rel_odom=None,
                          odom_info=(100.0, 100.0, 400.0),
-                         cg_iters: int = 200, cg_tol: float = 1e-8):
+                         cg_iters: int = 200, cg_tol: float = 1e-8,
+                         solver: str = "cg"):
     """One Gauss-Newton iteration with edge-sharded assembly.
 
     Edges are sharded over the mesh's rollout axis; poses/observations are
     replicated (they are O(T) vs the edges' O(E) >> O(T)).  Assembly
-    partials meet in a single psum; the CG solve is replicated.
+    partials meet in a single psum.
+
+    Args:
+        solver: ``"cg"`` solves replicated (every device runs the whole
+            CG); ``"sharded_cg"`` solves pose-sharded over the SAME mesh
+            axis (each device iterates on its block rows with ICI halo
+            exchange, :mod:`tpuslam.parallel.banded_shard`) - both
+            assembly and solve then scale with devices.  Requires
+            ``n_dev | T1`` and shards at least ``band`` rows wide.
 
     Returns ``(new_poses, delta_sum, cg_iters)`` (replicated).
     """
     t1 = poses.shape[0]
     n_dev = mesh.shape[ROLLOUT_AXIS]
+    if solver == "sharded_cg":
+        if t1 % n_dev:
+            raise ValueError(f"T1={t1} not divisible by {n_dev} devices")
+        if n_dev > 1 and t1 // n_dev < band:
+            raise ValueError(
+                f"shard rows {t1 // n_dev} < band {band}: halo would "
+                f"span more than one neighbor")
     edges = pad_edges(edges, n_dev)
 
     def local(poses, t_b, t_a, lm, valid):
@@ -94,7 +110,19 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
                                               rel_odom, odom_info)
             kept_g = jnp.ones_like(kept_g)
 
-        delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
+        if solver == "sharded_cg":
+            from tpuslam.parallel.banded_shard import _cg_local
+
+            ell = t1 // n_dev
+            row0 = jax.lax.axis_index(ROLLOUT_AXIS) * ell
+            h_local = jax.lax.dynamic_slice_in_dim(h_band, row0, ell,
+                                                   axis=1)
+            b_local = jax.lax.dynamic_slice_in_dim(-bvec, row0, ell,
+                                                   axis=0)
+            delta, cg_it = _cg_local(h_local, b_local, row0, t1, n_dev,
+                                     cg_iters, cg_tol)
+        else:
+            delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
         delta = delta * kept_g[:, None]
         new_poses = poses + delta
         new_poses = new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))

@@ -11,8 +11,9 @@ from tpuslam.slam.graph import (GraphConfig, GraphObservations,
 from tpuslam.slam.large import (BandedSolveResult, EdgeList,
                                 add_odometry_chain, assemble_banded,
                                 banded_matvec, build_edge_blocks, cg_solve,
-                                graph_solve_banded, make_large_scene,
-                                window_pairs)
+                                count_window_pairs, graph_solve_banded,
+                                make_large_scene, window_pairs,
+                                window_pairs_device)
 
 __all__ = [
     "REF_SLAM_LANDMARKS", "SlamSceneConfig", "SlamTrajectory", "simulate",
@@ -21,5 +22,6 @@ __all__ = [
     "graph_solve", "kept_times", "preconditioned_solve", "upper_pairs",
     "BandedSolveResult", "EdgeList", "add_odometry_chain",
     "assemble_banded", "banded_matvec", "build_edge_blocks", "cg_solve",
-    "graph_solve_banded", "make_large_scene", "window_pairs",
+    "count_window_pairs", "graph_solve_banded", "make_large_scene",
+    "window_pairs", "window_pairs_device",
 ]

@@ -121,6 +121,65 @@ def window_pairs(valid: np.ndarray, window: int,
         valid=jnp.ones((e,), bool))
 
 
+def count_window_pairs(valid: np.ndarray, window: int) -> int:
+    """Exact edge count of :func:`window_pairs` (host; for sizing the
+    static ``max_edges`` of :func:`window_pairs_device`)."""
+    total = 0
+    for d in range(1, min(window, valid.shape[0] - 1) + 1):
+        total += int(np.sum(valid[:-d] & valid[d:]))
+    return total
+
+
+def window_pairs_device(valid, window: int, max_edges: int):
+    """Device-side, jittable :func:`window_pairs` (same edge SET).
+
+    The host variant builds the edge list with numpy from a concrete
+    visibility matrix; this one runs under jit so the full pipeline
+    (scene -> edges -> banded solve) stays on-device with no transfer.
+    Shapes are static: candidates are compacted into ``max_edges`` slots
+    by a per-lag cumsum scatter (lag loop is unrolled - ``window`` is
+    static).  Edge ORDER differs from the host variant (grouped by time
+    lag, not by landmark); assembly is order-invariant scatter-add.
+
+    ``max_pairs_per_lm`` is not supported here (it needs a per-landmark
+    rank, host-friendly but a poor fit for one-pass compaction); size
+    with :func:`count_window_pairs` instead.
+
+    Args:
+        valid: ``(T1, L)`` boolean visibility (device array).
+        window: max time separation of a pair (static).
+        max_edges: static output capacity.  Edges beyond it are DROPPED
+            silently - check the returned count.
+
+    Returns:
+        ``(EdgeList, n_edges)`` - fixed-shape ``(max_edges,)`` tensors
+        with a validity mask, plus the true (traced) edge count; if
+        ``n_edges > max_edges`` the list is truncated.
+    """
+    t1, num_l = valid.shape
+    out_tb = jnp.zeros((max_edges,), jnp.int32)
+    out_ta = jnp.zeros((max_edges,), jnp.int32)
+    out_lm = jnp.zeros((max_edges,), jnp.int32)
+    out_valid = jnp.zeros((max_edges,), bool)
+    offset = jnp.asarray(0, jnp.int32)
+    tt = jnp.arange(t1, dtype=jnp.int32)[:, None]
+    lml = jnp.broadcast_to(jnp.arange(num_l, dtype=jnp.int32)[None, :],
+                           (t1, num_l))
+    for d in range(1, min(window, t1 - 1) + 1):
+        m = (valid[:-d] & valid[d:]).reshape(-1)
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        idx = jnp.where(m, offset + pos, max_edges)  # OOB slot -> dropped
+        tb = jnp.broadcast_to(tt[:t1 - d], (t1 - d, num_l)).reshape(-1)
+        lm = lml[:t1 - d].reshape(-1)
+        out_tb = out_tb.at[idx].set(tb, mode="drop")
+        out_ta = out_ta.at[idx].set(tb + d, mode="drop")
+        out_lm = out_lm.at[idx].set(lm, mode="drop")
+        out_valid = out_valid.at[idx].set(True, mode="drop")
+        offset = offset + jnp.sum(m.astype(jnp.int32))
+    return EdgeList(t_b=out_tb, t_a=out_ta, lm=out_lm,
+                    valid=out_valid), offset
+
+
 @highest_matmul_precision
 def build_edge_blocks(cfg: GraphConfig, poses, obs: GraphObservations,
                       edges: EdgeList, omega_poses=None):
