@@ -162,6 +162,42 @@ class TestPfStatsKernel:
         np.testing.assert_allclose(np.asarray(lw2), np.asarray(lw_ref),
                                    atol=1e-5)
 
+    def test_step_stats_resample_branch(self, rng):
+        """Skewed weights trip the ESS gate: the step must resample (all
+        surviving particles drawn from the high-weight support) and reset
+        to uniform weights before the kernel update."""
+        from tpuslam.filters.pf import PfConfig, pf_init
+        from tpuslam.ops.pf_pallas import (pf_fused_init,
+                                           pf_fused_step_stats)
+
+        n = 100  # exercises the padded-lanes path too (tile 64 -> 128)
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       resample_method="hist",
+                       ess_threshold_frac=0.5)
+        state = pf_init(cfg)
+        # Scatter particles; give all weight to the last 5.
+        parts = jnp.asarray(
+            rng.normal(size=(n, 3)) + np.array([10.0, 0.0, np.pi / 2]),
+            jnp.float32)
+        w = jnp.full((n,), 1e-12)
+        w = w.at[-5:].set(0.2)
+        w = w / jnp.sum(w)
+        fs = pf_fused_init(cfg, state._replace(particles=parts,
+                                               weights=w), tile_n=64)
+        fs2, ess = pf_fused_step_stats(cfg, fs, jax.random.key(0), 0,
+                                       noise_on=False, interpret=True)
+        assert float(ess) < n * cfg.ess_threshold_frac  # gate tripped
+        # With no process noise the resampled particles must be copies of
+        # the 5 heavy particles, advanced one deterministic step.
+        from tpuslam.models.process import circular_step
+
+        heavy = circular_step(parts[-5:], cfg.vel, cfg.yaw_rate, cfg.dt)
+        out = np.asarray(fs2.particles[:, :n].T)
+        d = np.abs(out[:, None, :] - np.asarray(heavy)[None]).sum(-1)
+        assert d.min(axis=1).max() < 1e-5
+        # Padded lanes stay -inf in the carried log weights.
+        assert np.all(np.asarray(fs2.log_w[0, n:]) == -np.inf)
+
     def test_step_stats_matches_pf_step_noise_free(self):
         """Fused step (stats path) vs XLA pf_step on the same noise-free
         inputs: same particles, weights, ESS, and MAP estimate."""

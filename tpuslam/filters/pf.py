@@ -130,11 +130,22 @@ def resample_indices(key, weights, method: str = "search"):
     if method == "hist":
         # t_j = ceil(n * cum_j - offs); out_idx[i] = #{j : t_j <= i}
         #     = searchsorted(cum, (i + offs)/n, 'left') for float-generic
-        # inputs, computed as a histogram + cumsum.
+        # inputs.  Computed as a LAST-OCCURRENCE scatter + forward-fill
+        # running max: out_idx[i] = max over v <= i of (1 + last j with
+        # t_j = v), zero where no t <= i.  Numerically identical to the
+        # histogram+cumsum formulation, but the scatter has UNIQUE
+        # indices (one per distinct t value): on TPU a unique
+        # scatter-set + associative cummax is ~2.5x cheaper than a
+        # colliding scatter-add, whose duplicate handling serializes
+        # (measured in scripts/tpu_resample_micro*.py).
         t = jnp.ceil(n * cum - offs).astype(jnp.int32)
         t = jnp.clip(t, 0, n)
-        hist = jnp.zeros((n + 1,), jnp.int32).at[t].add(1)
-        idx = jnp.cumsum(hist[:-1])
+        last = jnp.concatenate([t[:-1] != t[1:], jnp.ones((1,), bool)])
+        tgt = jnp.where(last, t, n)  # non-last duplicates / t==n dropped
+        sparse = jnp.zeros((n,), jnp.int32).at[tgt].set(
+            jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        idx = jax.lax.associative_scan(jnp.maximum, sparse)
     else:
         u = (jnp.arange(n, dtype=weights.dtype) + offs) / n
         idx = jnp.searchsorted(cum, u, side="left")

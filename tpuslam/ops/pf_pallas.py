@@ -167,8 +167,9 @@ def _pf_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
     lw_out_ref[0:1, :] = lw_m
 
     tile_max = jnp.max(lw_m)
-    tile_sum = jnp.sum(jnp.exp(lw_m - tile_max))  # exp(-inf - m) == 0
-    tile_sum2 = jnp.sum(jnp.exp(2.0 * (lw_m - tile_max)))
+    e = jnp.exp(lw_m - tile_max)  # exp(-inf - m) == 0
+    tile_sum = jnp.sum(e)
+    tile_sum2 = jnp.sum(e * e)  # exp(2(lw - m)) without a second exp
 
     # Argmax pick: break ties by highest index so every coordinate is
     # read from the SAME particle (the reference's np.argmax keeps the
@@ -433,7 +434,14 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
         cfg.r_std)
 
     n = cfg.num_particles
-    tile_n, n_pad = _padded(cfg, tile_n)
+    # The padded width is a property of the carried state (set by
+    # pf_fused_init's tile); the step's tile only needs to divide it.
+    n_pad = fs.particles.shape[1]
+    tile_n = min(tile_n, n_pad)
+    if n_pad % tile_n:
+        raise ValueError(
+            f"state padded to {n_pad} lanes (from pf_fused_init) is not "
+            f"divisible by tile_n={tile_n}")
     # ESS from the kernel stats: sum(w_norm^2) = exp(lse2 - 2 lse).
     bad = ~(jnp.isfinite(fs.lse) & jnp.isfinite(fs.lse2))
     ess = jnp.where(bad, float(n), jnp.exp(2.0 * fs.lse - fs.lse2))
