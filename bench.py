@@ -177,10 +177,16 @@ def main():
         print(f"# scan bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_pallas()
-        print(f"# PF (pallas fused): {pf_rate:.3e} particle-steps/s/chip",
-              file=sys.stderr)
+        print(f"# PF (pallas fused, 100k): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# PF pallas bench failed: {e}", file=sys.stderr)
+    try:
+        pf_rate = bench_pf_pallas(particles=1_000_000)
+        print(f"# PF (pallas fused, 1M): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# PF pallas 1M bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf()
         print(f"# PF (xla scan): {pf_rate:.3e} particle-steps/s/chip",

@@ -32,7 +32,7 @@ def main():
     from tpuslam.ops.pf_pallas import (pf_fused_init, pf_fused_step_stats,
                                        _pf_stats_call, _padded)
 
-    n, steps = 1_000_000, 100
+    n, steps = int(os.environ.get("PF_N", 1_000_000)), 100
 
     # --- how often does the gate fire? ---------------------------------
     cfg = PfConfig(num_particles=n, weight_mode="log",

@@ -304,6 +304,10 @@ def _pf_stats_call(cfg: PfConfig, seed, uniform_flag, p_in, lw_in, z,
                    pl.BlockSpec((6,), lambda i: (0,),
                                 memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.SMEM((8,), jnp.float32)],
+        # Update the particle/weight buffers in place: each grid tile
+        # reads only its own block before writing it, and the scan carry
+        # donates its buffers - saves an HBM copy per step.
+        input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32),
       jnp.asarray([uniform_flag], jnp.float32),
