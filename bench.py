@@ -147,7 +147,7 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
         res = graph_solve_banded(cfg, p, obs, el, band=window,
                                  rel_odom=rel_odom,
                                  odom_info=(100.0, 100.0, 100.0),
-                                 solver="tridiag",
+                                 solver="cr",
                                  delta_tol=1e-6 * n_poses)
         return jnp.sum(res.poses) + res.delta_sum
 

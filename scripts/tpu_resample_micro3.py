@@ -1,5 +1,17 @@
 #!/usr/bin/env python
-"""Micro-bench #3: compaction-scatter and chunk-start costs at 1M."""
+"""Micro-bench #3: compaction-scatter and chunk-start costs at 1M.
+
+Companion to tpu_resample_micro.py (component timings).  Conclusions
+that shaped filters/pf.py::resample_indices (measured on v5e):
+  * any 1M-index scatter costs ~5 ms regardless of unique/sorted flags
+    (scatter-add with duplicates ~9 ms - duplicate handling serializes);
+    cost scales with ROW count (a (4, N) row-scatter is ~4x a (1, N));
+  * gathers are ~4.6 ms per 1M indices, also ~independent of flags;
+  * searchsorted is ~linear in QUERY count (free for few queries,
+    158 ms for 1M);
+  * a merge-rank construction (two 2N scatters, benchmarked in a since-
+    deleted micro-bench #2) loses to one unique scatter-set + cummax.
+"""
 
 import os
 import sys

@@ -321,6 +321,74 @@ class TestTridiagSolver:
                                    np.asarray(r_cg.poses), atol=2e-2)
 
 
+class TestCyclicReductionSolver:
+    def _banded_system(self, rng, t1, band):
+        d1 = band + 1
+        n = 3 * t1
+        b_mat = rng.normal(size=(n, n)) * (
+            np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= 3)
+        a = b_mat @ b_mat.T + np.eye(n) * 4.0
+        for i in range(t1):
+            for j in range(t1):
+                if abs(i - j) > band:
+                    a[3 * i:3 * i + 3, 3 * j:3 * j + 3] = 0
+        a = (a + a.T) / 2 + np.eye(n) * 4.0
+        hb = np.zeros((d1, t1, 3, 3))
+        for d in range(d1):
+            for i in range(t1 - d):
+                hb[d, i] = a[3 * i:3 * i + 3, 3 * (i + d):3 * (i + d) + 3]
+        x_true = rng.normal(size=n)
+        return a, hb, x_true, a @ x_true
+
+    def test_cr_matches_dense(self, rng):
+        from tpuslam.slam.cyclic import banded_solve_cr
+
+        for t1, band, ss in ((23, 4, None), (23, 4, 8), (64, 3, 4),
+                             (5, 1, None)):
+            a, hb, x_true, rhs = self._banded_system(rng, t1, band)
+            x = banded_solve_cr(
+                jnp.asarray(hb, jnp.float32),
+                jnp.asarray(rhs.reshape(t1, 3), jnp.float32),
+                super_size=ss)
+            rel = np.linalg.norm(np.asarray(x).ravel() - x_true) / \
+                np.linalg.norm(x_true)
+            assert rel < 1e-4, (t1, band, ss, rel)
+
+    def test_cr_matches_thomas_on_tridiag_blocks(self, rng):
+        """block_cr_solve == block_thomas_solve on a random SPD
+        block-tridiagonal system (power-of-two N)."""
+        from tpuslam.slam.cyclic import block_cr_solve
+        from tpuslam.slam.tridiag import block_thomas_solve
+
+        n, m = 8, 6
+        u = jnp.asarray(rng.normal(size=(n - 1, m, m)) * 0.2, jnp.float32)
+        d = jnp.asarray(
+            np.stack([np.eye(m) * 4.0 + 0.1 * (lambda q: q + q.T)(
+                rng.normal(size=(m, m))) for _ in range(n)]), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+        x_cr = block_cr_solve(d, u, b)
+        x_th = block_thomas_solve(d, u, b)
+        np.testing.assert_allclose(np.asarray(x_cr), np.asarray(x_th),
+                                   atol=1e-4)
+
+    def test_cr_solver_option_in_gn(self):
+        from tpuslam.core.angles import wrap_angle
+
+        noise = 0.3
+        cfg = _cfg(100, 20, max_gn_iters=10, exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(3), 100, 20,
+                                      radius=40.0, odom_noise=noise)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        el = window_pairs(np.asarray(obs.valid), window=20)
+        kw = dict(band=20, rel_odom=rel_odom,
+                  odom_info=(1 / noise ** 2,) * 3)
+        r_cr = graph_solve_banded(cfg, po, obs, el, solver="cr", **kw)
+        r_td = graph_solve_banded(cfg, po, obs, el, solver="tridiag", **kw)
+        np.testing.assert_allclose(np.asarray(r_cr.poses),
+                                   np.asarray(r_td.poses), atol=2e-2)
+
+
 class TestDamping:
     def test_damped_reference_formulation_stays_bounded(self):
         """The reference-compatible formulation (inconsistent Jacobians +

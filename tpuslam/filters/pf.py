@@ -218,6 +218,16 @@ def _normalize(cfg: PfConfig, w):
     return jnp.where(jnp.isnan(w), 1.0 / cfg.num_particles, w)
 
 
+def weights_from_log(cfg: PfConfig, log_w, lse):
+    """Normalized weights from unnormalized log weights and their
+    logsumexp, with the NaN->uniform reset of particle_filter.py:226-237
+    (the log-space twin of :func:`_normalize`).  The single home of the
+    reset predicate for every log-weight path (scan and fused kernel)."""
+    lw_n = log_w - lse
+    return jnp.where(jnp.isnan(lw_n) | ~jnp.isfinite(lse),
+                     1.0 / cfg.num_particles, jnp.exp(lw_n))
+
+
 def pf_estimate(cfg: PfConfig, particles, weights):
     """Point estimate from the weighted particle set.
 
@@ -277,9 +287,8 @@ def pf_step(cfg: PfConfig, state: PfState, key):
     like = pf_likelihood(cfg, particles, z)
     if cfg.weight_mode == "log":
         lw = jnp.log(weights) + like
-        lw = lw - jax.scipy.special.logsumexp(lw, axis=-1, keepdims=True)
-        weights = jnp.where(jnp.isnan(lw), 1.0 / cfg.num_particles,
-                            jnp.exp(lw))
+        lse = jax.scipy.special.logsumexp(lw, axis=-1, keepdims=True)
+        weights = weights_from_log(cfg, lw, lse)
     else:
         weights = _normalize(cfg, weights * like)
 

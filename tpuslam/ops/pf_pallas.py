@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuslam.filters.pf import PfConfig, PfState, systematic_resample
+from tpuslam.filters.pf import PfConfig, PfState
 from tpuslam.models.process import circular_step
 from tpuslam.core.se2 import world_to_robot
 
@@ -405,10 +405,10 @@ def pf_fused_init(cfg: PfConfig, state0: PfState | None = None,
 def pf_fused_to_state(cfg: PfConfig, fs: PfFusedState) -> PfState:
     """Materialize normalized weights (NaN->uniform, matching
     particle_filter.py:226-237) back into a :class:`PfState`."""
+    from tpuslam.filters.pf import weights_from_log
+
     n = cfg.num_particles
-    lw = fs.log_w[0, :n] - fs.lse
-    weights = jnp.where(jnp.isnan(lw) | ~jnp.isfinite(fs.lse),
-                        1.0 / n, jnp.exp(lw))
+    weights = weights_from_log(cfg, fs.log_w[0, :n], fs.lse)
     return PfState(x_true=fs.x_true, particles=fs.particles.T[:n],
                    weights=weights)
 
@@ -470,9 +470,9 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
     lse, lse2 = stats[0], stats[1]
 
     if cfg.estimate == "mean":
-        lw_n = log_w[0, :n] - lse
-        weights = jnp.where(jnp.isnan(lw_n) | ~jnp.isfinite(lse),
-                            1.0 / n, jnp.exp(lw_n))
+        from tpuslam.filters.pf import weights_from_log
+
+        weights = weights_from_log(cfg, log_w[0, :n], lse)
         x = particles[0, :n]
         y = particles[1, :n]
         yaw = particles[2, :n]

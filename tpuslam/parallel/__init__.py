@@ -1,6 +1,7 @@
 """Device meshes, sharded Monte-Carlo sweeps, particle parallelism."""
 
-from tpuslam.parallel.banded_shard import sharded_cg_solve
+from tpuslam.parallel.banded_shard import (sharded_cg_local,
+                                           sharded_cg_solve)
 from tpuslam.parallel.graph_shard import (pad_edges,
                                            sharded_gn_iteration,
                                            sharded_graph_solve)
@@ -9,6 +10,7 @@ from tpuslam.parallel.mesh import (PARTICLE_AXIS, ROLLOUT_AXIS, make_mesh,
 from tpuslam.parallel.rollouts import sharded_ekf_sweep, sharded_pf_step
 
 __all__ = ["PARTICLE_AXIS", "ROLLOUT_AXIS", "make_mesh", "replicated",
-           "rollout_sharding", "sharded_cg_solve", "sharded_ekf_sweep",
+           "rollout_sharding", "sharded_cg_local", "sharded_cg_solve",
+           "sharded_ekf_sweep",
            "sharded_pf_step", "pad_edges", "sharded_gn_iteration",
            "sharded_graph_solve"]

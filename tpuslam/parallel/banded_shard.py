@@ -111,8 +111,8 @@ def _local_banded_matvec_factory(h_local, h_left_halo, row0, t1, axis_name,
     return matvec
 
 
-def _cg_local(h_local, b_local, row0, t1, n_dev, max_iters, tol,
-              axis_name=ROLLOUT_AXIS):
+def sharded_cg_local(h_local, b_local, row0, t1, n_dev, max_iters, tol,
+                     axis_name=ROLLOUT_AXIS):
     """Device-local body of the pose-sharded PCG (must run inside
     shard_map over ``axis_name`` with ``h_local (D, L, 3, 3)`` /
     ``b_local (L, 3)`` this device's block rows).
@@ -120,6 +120,8 @@ def _cg_local(h_local, b_local, row0, t1, n_dev, max_iters, tol,
     Returns ``(x_full, iters)`` with ``x_full`` the all-gathered
     replicated solution.
     """
+    from tpuslam.core.pcg import pcg
+
     k = h_local.shape[0] - 1
     if k > 0:
         h_left_halo = _shift_from_left(h_local[:, -k:], axis_name, n_dev)
@@ -135,38 +137,7 @@ def _cg_local(h_local, b_local, row0, t1, n_dev, max_iters, tol,
     def gdot(a, c):
         return jax.lax.psum(jnp.sum(a * c), axis_name)
 
-    x0 = jnp.zeros_like(b_local)
-    r0 = b_local
-    z0 = precond(r0)
-    p0 = z0
-    rz0 = gdot(r0, z0)
-    bnorm = gdot(b_local, b_local)
-
-    def body(carry):
-        x, r, p, rz, it = carry
-        hp = matvec(p)
-        php = gdot(p, hp)
-        alpha = jnp.where(php > 1e-20, rz / jnp.maximum(php, 1e-20), 0.0)
-        x = x + alpha * p
-        r = r - alpha * hp
-        z = precond(r)
-        rz_new = gdot(r, z)
-        beta = jnp.where(rz > 1e-30, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new, it + 1
-
-    def cond(carry):
-        _, r, _, rz, it = carry
-        return ((gdot(r, r) > tol * bnorm) & (it < max_iters)
-                & (rz > 0.0) & jnp.isfinite(rz))
-
-    def run(_):
-        x, _, _, _, iters = jax.lax.while_loop(
-            cond, body, (x0, r0, p0, rz0, jnp.asarray(0)))
-        return jnp.where(jnp.isfinite(x), x, 0.0), iters
-
-    x, iters = jax.lax.cond(bnorm > 1e-9, run,
-                            lambda _: (x0, jnp.asarray(0)), None)
+    x, iters = pcg(matvec, precond, gdot, b_local, max_iters, tol)
     return jax.lax.all_gather(x, axis_name, tiled=True), iters
 
 
@@ -203,8 +174,8 @@ def sharded_cg_solve(mesh, h_band, b, max_iters: int = 200,
 
     def local(h_local, b_local):
         row0 = jax.lax.axis_index(ROLLOUT_AXIS) * ell
-        return _cg_local(h_local, b_local, row0, t1, n_dev, max_iters,
-                         tol)
+        return sharded_cg_local(h_local, b_local, row0, t1, n_dev,
+                                max_iters, tol)
 
     fn = jax.shard_map(
         local, mesh=mesh,

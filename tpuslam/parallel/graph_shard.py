@@ -111,7 +111,7 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             kept_g = jnp.ones_like(kept_g)
 
         if solver == "sharded_cg":
-            from tpuslam.parallel.banded_shard import _cg_local
+            from tpuslam.parallel.banded_shard import sharded_cg_local
 
             ell = t1 // n_dev
             row0 = jax.lax.axis_index(ROLLOUT_AXIS) * ell
@@ -119,8 +119,8 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
                                                    axis=1)
             b_local = jax.lax.dynamic_slice_in_dim(-bvec, row0, ell,
                                                    axis=0)
-            delta, cg_it = _cg_local(h_local, b_local, row0, t1, n_dev,
-                                     cg_iters, cg_tol)
+            delta, cg_it = sharded_cg_local(h_local, b_local, row0, t1,
+                                            n_dev, cg_iters, cg_tol)
         else:
             delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
         delta = delta * kept_g[:, None]

@@ -397,51 +397,22 @@ def banded_matvec(h_band, x):
 def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
     """Block-Jacobi-preconditioned conjugate gradients on banded H.
 
-    Matrix-free: only :func:`banded_matvec` touches H.  Returns the
-    solution of ``H x = b``.
+    Matrix-free: only :func:`banded_matvec` touches H.  The iteration
+    itself is the shared :func:`tpuslam.core.pcg.pcg` driver.  Returns
+    the solution of ``H x = b``.
     """
+    from tpuslam.core.pcg import pcg
+
     minv = _inv3x3(h_band[0])  # (T1, 3, 3) block-Jacobi preconditioner
     matvec = make_banded_matvec(h_band)
 
     def precond(r):
         return jnp.einsum("tij,tj->ti", minv, r)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = precond(r0)
-    p0 = z0
-    rz0 = jnp.sum(r0 * z0)
-    bnorm = jnp.sum(b * b)
+    def dot(a, c):
+        return jnp.sum(a * c)
 
-    def body(carry):
-        x, r, p, rz, it = carry
-        hp = matvec(p)
-        php = jnp.sum(p * hp)
-        # Breakdown-proof: a vanishing curvature direction (converged or
-        # semidefinite mode) yields a zero step, not an overflow.
-        alpha = jnp.where(php > 1e-20, rz / jnp.maximum(php, 1e-20), 0.0)
-        x = x + alpha * p
-        r = r - alpha * hp
-        z = precond(r)
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(rz > 1e-30, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new, it + 1
-
-    def cond(carry):
-        _, r, _, rz, it = carry
-        return ((jnp.sum(r * r) > tol * bnorm) & (it < max_iters)
-                & (rz > 0.0) & jnp.isfinite(rz))
-
-    # Skip entirely when the gradient is negligible (a delta large enough
-    # to matter to the GN ||dx||^2 >= 0.01 criterion needs ||b|| >> this).
-    def run(_):
-        x, _, _, _, iters = jax.lax.while_loop(
-            cond, body, (x0, r0, p0, rz0, jnp.asarray(0)))
-        return jnp.where(jnp.isfinite(x), x, 0.0), iters
-
-    return jax.lax.cond(bnorm > 1e-9, run,
-                        lambda _: (x0, jnp.asarray(0)), None)
+    return pcg(matvec, precond, dot, b, max_iters, tol)
 
 
 def make_large_scene(cfg: GraphConfig, key, n_poses: int,
@@ -517,9 +488,11 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             recommended at scale.
         solver: ``"cg"`` (block-Jacobi PCG, matrix-free), ``"cholesky"``
             (exact blocked banded Cholesky, :mod:`tpuslam.slam.cholesky`),
-            or ``"tridiag"`` (super-block tridiagonal Thomas,
-            :mod:`tpuslam.slam.tridiag` - the MXU-shaped production
-            solver for long trajectories).
+            ``"tridiag"`` (super-block tridiagonal Thomas,
+            :mod:`tpuslam.slam.tridiag` - MXU-shaped, O(N) sequential
+            depth), or ``"cr"`` (super-block cyclic reduction,
+            :mod:`tpuslam.slam.cyclic` - O(log N) depth, the
+            latency-optimal production solver for long trajectories).
         relinearize_omega: recompute the measurement information from the
             CURRENT estimates each GN iteration (the reference's
             behavior).  Default False: freeze Omega at the initial guess
@@ -563,6 +536,11 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             from tpuslam.slam.tridiag import banded_solve_tridiag
 
             delta = banded_solve_tridiag(h_band, -bvec)
+            cg_it = jnp.asarray(0)
+        elif solver == "cr":
+            from tpuslam.slam.cyclic import banded_solve_cr
+
+            delta = banded_solve_cr(h_band, -bvec)
             cg_it = jnp.asarray(0)
         else:
             delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)

@@ -136,38 +136,54 @@ def block_thomas_solve(diag, upper, b):
         return xs_rev[::-1]
 
 
-@highest_matmul_precision
-def banded_solve_tridiag(h_band, b, super_size: int | None = None):
-    """One-shot H x = b via super-block tridiagonalization + block Thomas.
-
-    Pads the trajectory axis to a super-block multiple with identity
-    blocks (decoupled; their solution is exactly 0 for zero RHS), and
-    symmetrically Jacobi-prescales the system (the graph's 1e4 gauge
-    anchor otherwise pushes the f32 Schur recursion out of PD range).
-    """
+def pad_band(h_band, b, multiple: int):
+    """Pad the trajectory axis to a multiple with decoupled identity
+    blocks (their solution is exactly 0 for the zero RHS padding)."""
     d1, t1 = h_band.shape[0], h_band.shape[1]
-    band = d1 - 1
-    if super_size is None:
-        super_size = max(band, 1)
-    pad = (-t1) % super_size
+    pad = (-t1) % multiple
     if pad:
         eye_tail = jnp.zeros((d1, pad, 3, 3), h_band.dtype)
         eye_tail = eye_tail.at[0].set(jnp.eye(3, dtype=h_band.dtype))
         h_band = jnp.concatenate([h_band, eye_tail], axis=1)
         b = jnp.concatenate([b, jnp.zeros((pad, 3), b.dtype)], axis=0)
-    t_pad = t1 + pad
-    n = t_pad // super_size
+    return h_band, b
 
-    # Symmetric Jacobi scaling: s_i = 1/sqrt(H_ii) per scalar row.
+
+def jacobi_prescale(h_band, b):
+    """Symmetric Jacobi scaling s_i = 1/sqrt(H_ii) per scalar row.
+
+    The graph's 1e4 gauge anchor otherwise pushes the f32 Schur
+    recursions out of PD range.  Returns ``(h_scaled, b_scaled, s)``;
+    un-scale a solution with ``x * s``.
+    """
+    d1, t1 = h_band.shape[0], h_band.shape[1]
     diag_scal = jnp.diagonal(h_band[0], axis1=-2, axis2=-1)  # (T1, 3)
     s = jax.lax.rsqrt(jnp.maximum(diag_scal, 1e-30))  # (T1, 3)
     # hb'[d, i, a, bcol] = hb * s[i, a] * s[i+d, bcol]
-    idx = jnp.minimum(jnp.arange(t_pad)[None, :] + jnp.arange(d1)[:, None],
-                      t_pad - 1)
+    idx = jnp.minimum(jnp.arange(t1)[None, :] + jnp.arange(d1)[:, None],
+                      t1 - 1)
     s_col = s[idx]  # (D, T1, 3)
     h_scaled = h_band * s[None, :, :, None] * s_col[:, :, None, :]
-    b_scaled = b * s
+    return h_scaled, b * s, s
 
+
+@highest_matmul_precision
+def banded_solve_tridiag(h_band, b, super_size: int | None = None):
+    """One-shot H x = b via super-block tridiagonalization + block Thomas.
+
+    Pads the trajectory axis to a super-block multiple (see
+    :func:`pad_band`) and symmetrically Jacobi-prescales the system
+    (:func:`jacobi_prescale`).
+    """
+    d1, t1 = h_band.shape[0], h_band.shape[1]
+    band = d1 - 1
+    if super_size is None:
+        super_size = max(band, 1)
+    h_band, b = pad_band(h_band, b, super_size)
+    t_pad = h_band.shape[1]
+    n = t_pad // super_size
+
+    h_scaled, b_scaled, s = jacobi_prescale(h_band, b)
     diag, upper = band_to_tridiag(h_scaled, super_size)
     x = block_thomas_solve(diag, upper,
                            b_scaled.reshape(n, 3 * super_size))
