@@ -143,7 +143,10 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
     rel_odom = po[1:] - po[:-1]
     rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
 
-    def fn(p):
+    # Big tensors ride as jit ARGUMENTS: closed-over arrays are baked
+    # into the program as constants and shipped with the remote-compile
+    # POST (breaks the tunnel at 100k+ scale, wasteful here).
+    def fn(p, obs, el, rel_odom):
         res = graph_solve_banded(cfg, p, obs, el, band=window,
                                  rel_odom=rel_odom,
                                  odom_info=(100.0, 100.0, 100.0),
@@ -152,7 +155,7 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
         return jnp.sum(res.poses) + res.delta_sum
 
     jfn = jax.jit(fn)
-    dt = _time_scalar(jfn, po, reps=3)
+    dt = _time_scalar(jfn, po, obs, el, rel_odom, reps=3)
     return dt, el.t_b.shape[0]
 
 

@@ -139,23 +139,23 @@ def graph_10k():
     rel_odom = po[1:] - po[:-1]
     rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
 
-    for solver in ("tridiag", "cholesky", "cg"):
+    for solver in ("cr", "tridiag", "cholesky", "cg"):
         @jax.jit
-        def fn(p):
+        def fn(p, obs, el, rel_odom, sv=solver):
             res = graph_solve_banded(cfg, p, obs, el, band=window,
                                      rel_odom=rel_odom,
                                      odom_info=(100.0, 100.0, 100.0),
-                                     solver=solver,
+                                     solver=sv,
                                      delta_tol=1e-6 * n_poses)
             return jnp.sum(res.poses) + res.delta_sum
 
         t0 = time.time()
-        float(fn(po))
+        float(fn(po, obs, el, rel_odom))
         log(f"{solver}: compile+first solve {time.time() - t0:.1f}s")
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fn(po))
+            float(fn(po, obs, el, rel_odom))
             ts.append(time.perf_counter() - t0)
         log(f"{solver}: 10k-pose solve {min(ts):.3f}s (target < 1 s)")
 

@@ -6,6 +6,7 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tpuslam.models.scan_sensor import ScanConfig
 from tpuslam.slam import GraphConfig, GraphObservations
@@ -319,6 +320,68 @@ class TestTridiagSolver:
         r_td = graph_solve_banded(cfg, po, obs, el, solver="tridiag", **kw)
         np.testing.assert_allclose(np.asarray(r_td.poses),
                                    np.asarray(r_cg.poses), atol=2e-2)
+
+
+class TestPcgDriver:
+    """Edge cases of the shared PCG driver (core/pcg.py)."""
+
+    def test_zero_rhs_short_circuits(self):
+        from tpuslam.core.pcg import pcg
+
+        b = jnp.zeros((8, 3))
+        x, it = pcg(lambda x: x, lambda r: r, lambda a, c: jnp.sum(a * c),
+                    b, 50, 1e-8)
+        assert int(it) == 0
+        np.testing.assert_array_equal(np.asarray(x), 0.0)
+
+    def test_identity_system_converges_immediately(self, rng):
+        from tpuslam.core.pcg import pcg
+
+        b = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+        x, it = pcg(lambda x: x, lambda r: r, lambda a, c: jnp.sum(a * c),
+                    b, 50, 1e-10)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(b),
+                                   atol=1e-6)
+        assert int(it) <= 2
+
+    def test_semidefinite_direction_does_not_blow_up(self):
+        """A matvec that kills one component (singular H) must stop with
+        finite output instead of dividing by ~0 curvature."""
+        from tpuslam.core.pcg import pcg
+
+        mask = jnp.asarray([1.0, 1.0, 0.0])
+
+        def matvec(x):
+            return x * mask
+
+        b = jnp.asarray([[1.0, 2.0, 3.0]])
+        x, it = pcg(matvec, lambda r: r,
+                    lambda a, c: jnp.sum(a * c), b, 50, 1e-12)
+        assert np.isfinite(np.asarray(x)).all()
+
+
+class TestChunkedScene:
+    def test_chunked_scan_matches_visibility(self):
+        """Chunked scene generation: identical FOV mask (deterministic
+        geometry) and same-shape noisy fields as the unchunked path."""
+        cfg = _cfg(40, 8, exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(1), 40, 8,
+                                       radius=15.0, odom_noise=0.05)
+        pt2, po2, obs2 = make_large_scene(cfg, jax.random.key(1), 40, 8,
+                                          radius=15.0, odom_noise=0.05,
+                                          scan_chunk=10)
+        np.testing.assert_array_equal(np.asarray(obs.valid),
+                                      np.asarray(obs2.valid))
+        np.testing.assert_allclose(np.asarray(pt), np.asarray(pt2))
+        np.testing.assert_allclose(np.asarray(po), np.asarray(po2))
+        assert obs2.dist.shape == obs.dist.shape
+        assert np.isfinite(np.asarray(obs2.dist)).all()
+
+    def test_chunk_must_divide(self):
+        cfg = _cfg(40, 8)
+        with pytest.raises(ValueError):
+            make_large_scene(cfg, jax.random.key(0), 40, 8,
+                             scan_chunk=7)
 
 
 class TestCyclicReductionSolver:

@@ -417,7 +417,8 @@ def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
 
 def make_large_scene(cfg: GraphConfig, key, n_poses: int,
                      n_landmarks: int, radius: float = 200.0,
-                     odom_noise: float = 0.02):
+                     odom_noise: float = 0.02,
+                     scan_chunk: int | None = None):
     """Synthetic large-loop scenario for the 10k-pose benchmark.
 
     Ground truth is a circular course (the reference demo's geometry
@@ -426,6 +427,12 @@ def make_large_scene(cfg: GraphConfig, key, n_poses: int,
     :func:`~tpuslam.models.scan_sensor.scan` call over all poses; the
     odometry initial guess is truth + a small random-walk drift (the
     structure GN must correct).
+
+    Args:
+        scan_chunk: process the scan in pose chunks of this size via
+            ``lax.map`` (the scan's (chunk, L, 2) intermediates otherwise
+            exhaust HBM around T1 x L ~ 1e8; the (T1, L) OUTPUT tensors
+            still materialize).  Must divide ``n_poses``.
 
     Returns ``(poses_true, poses_odom, obs)`` with ``(T1, ...)`` /
     ``(T1, L)`` shapes (T1 = n_poses).
@@ -449,7 +456,24 @@ def make_large_scene(cfg: GraphConfig, key, n_poses: int,
     landmarks = jnp.stack([r_lm * jnp.cos(a_lm), r_lm * jnp.sin(a_lm)],
                           axis=-1)
 
-    noisy, _ = sensor_scan(cfg.scan, k_scan, poses_true, landmarks)
+    if scan_chunk is None:
+        noisy, _ = sensor_scan(cfg.scan, k_scan, poses_true, landmarks)
+    else:
+        if n_poses % scan_chunk:
+            raise ValueError(f"scan_chunk {scan_chunk} must divide "
+                             f"n_poses {n_poses}")
+        n_chunks = n_poses // scan_chunk
+        keys = jax.random.split(k_scan, n_chunks)
+        poses_c = poses_true.reshape(n_chunks, scan_chunk, 3)
+
+        def one_chunk(args):
+            k, p = args
+            n, _ = sensor_scan(cfg.scan, k, p, landmarks)
+            return n
+
+        chunks = jax.lax.map(one_chunk, (keys, poses_c))
+        noisy = jax.tree.map(
+            lambda x: x.reshape((n_poses,) + x.shape[2:]), chunks)
 
     drift = jnp.cumsum(
         jax.random.normal(k_odo, (n_poses, 3)) * odom_noise, axis=0)

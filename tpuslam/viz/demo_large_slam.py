@@ -23,7 +23,8 @@ def main(argv=None):
     ap.add_argument("--landmarks", type=int, default=100)
     ap.add_argument("--window", type=int, default=30)
     ap.add_argument("--odom-noise", type=float, default=0.2)
-    ap.add_argument("--solver", choices=["cg", "cholesky", "tridiag"],
+    ap.add_argument("--solver",
+                    choices=["cg", "cholesky", "tridiag", "cr"],
                     default="cg")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save", type=str, default=None)
