@@ -131,7 +131,22 @@ def banded_solve_cr(h_band, b, super_size: int | None = None):
     d1, t1 = h_band.shape[0], h_band.shape[1]
     band = d1 - 1
     if super_size is None:
-        super_size = max(band, 1)
+        # CR pads the super-block count to a power of two.  Pick S in
+        # [band, 2*band] minimizing that padding, but REQUIRE the dense
+        # block dim 3S to fit one MXU tile (<= 128) when possible:
+        # measured at T1=100k, a zero-padding S=49 (3S=147, straddles
+        # tiles) ran 10x slower than S=40 (3S=120) despite 64% more
+        # padded rows - layout beats row count.
+        base = max(band, 1)
+
+        def waste(s_try):
+            n_try = -(-t1 // s_try)
+            n2 = 1 << max(n_try - 1, 0).bit_length()
+            return n2 * s_try - t1
+
+        cands = list(range(base, 2 * base + 1))
+        tile_friendly = [s for s in cands if 3 * s <= 128]
+        super_size = min(tile_friendly or cands, key=waste)
     h_band, b = pad_band(h_band, b, super_size)
     n = h_band.shape[1] // super_size
     n_pow2 = 1 << max(n - 1, 0).bit_length()  # next power of two
