@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import math
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def log(msg):

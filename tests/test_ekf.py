@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import oracles
 from tpuslam.filters import (EkfConfig, ekf_init, ekf_predict, ekf_rollout,
                              ekf_rollout_batch, ekf_step, ekf_update)
-from tpuslam.filters.ekf import _diag_sq, ekf_step_with_noise
+from tpuslam.filters.ekf import ekf_step_with_noise
 
 
 CFG = EkfConfig()

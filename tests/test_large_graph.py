@@ -9,8 +9,8 @@ import jax.numpy as jnp
 import pytest
 
 from tpuslam.models.scan_sensor import ScanConfig
-from tpuslam.slam import GraphConfig, GraphObservations
-from tpuslam.slam.large import (EdgeList, assemble_banded, banded_matvec,
+from tpuslam.slam import GraphConfig
+from tpuslam.slam.large import (assemble_banded, banded_matvec,
                                 build_edge_blocks, cg_solve,
                                 graph_solve_banded, make_large_scene,
                                 window_pairs)

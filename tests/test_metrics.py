@@ -1,7 +1,6 @@
 """Tests for the device-side metrics module."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from tpuslam.metrics import (divergence_mask, nees, nees_consistency,

@@ -201,7 +201,7 @@ class TestPfStatsKernel:
     def test_step_stats_matches_pf_step_noise_free(self):
         """Fused step (stats path) vs XLA pf_step on the same noise-free
         inputs: same particles, weights, ESS, and MAP estimate."""
-        from tpuslam.filters.pf import PfConfig, pf_init, pf_step
+        from tpuslam.filters.pf import PfConfig, pf_init
         from tpuslam.ops.pf_pallas import (pf_fused_init,
                                            pf_fused_step_stats,
                                            pf_fused_to_state)

@@ -3,7 +3,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from tpuslam.filters import EkfConfig, PfConfig, ekf_rollout_batch, pf_init

@@ -3,12 +3,11 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from scipy import stats
 
 import oracles
 from tpuslam.filters import (PfConfig, bivariate_normal_pdf,
-                             effective_sample_size, pf_estimate, pf_init,
+                             effective_sample_size, pf_init,
                              pf_likelihood, pf_rollout, pf_step,
                              systematic_resample)
 

@@ -31,7 +31,6 @@ unconstrained times, and yaw wrapping all match the dense path.
 
 from __future__ import annotations
 
-import math
 import typing
 
 import jax
