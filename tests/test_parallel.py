@@ -3,6 +3,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from tpuslam.filters import EkfConfig, PfConfig, ekf_rollout_batch, pf_init
@@ -67,6 +68,91 @@ class TestShardedPf:
                 np.asarray(x_est[:2] - state.x_true[:2])))
         # After burn-in the sharded PF tracks the truth.
         assert np.mean(errs[10:]) < 1.0
+
+
+class TestShardedFusedPf:
+    """Particle-sharded fused-kernel PF (interpret-mode kernel)."""
+
+    def test_stats_match_single_device(self):
+        """Noise-free: global lse/lse2/MAP of the sharded step must match
+        the single-device fused step on the same (replicated) cloud."""
+        from tpuslam.ops.pf_pallas import (pf_fused_init,
+                                           pf_fused_step_stats)
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+        from tpuslam.filters.pf import pf_init
+
+        cfg = PfConfig(num_particles=512, weight_mode="log",
+                       resample_method="hist")
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        fs_s = sharded_pf_fused_init(cfg, mesh, tile_n=64)
+        fs_1 = pf_fused_init(cfg, pf_init(cfg), tile_n=64)
+        key = jax.random.key(0)
+        step_s = jax.jit(lambda f, k: sharded_pf_fused_step(
+            cfg, mesh, f, k, 0, noise_on=False, interpret=True,
+            tile_n=64))
+        step_1 = jax.jit(lambda f, k: pf_fused_step_stats(
+            cfg, f, k, 0, noise_on=False, interpret=True, tile_n=64))
+        # k_obs derivation differs only via jax.random.split structure -
+        # both paths split the same key the same way.
+        fs_s2, ess_s = step_s(fs_s, key)
+        fs_12, ess_1 = step_1(fs_1, key)
+        assert np.isclose(float(ess_s), float(ess_1), rtol=1e-5)
+        assert np.isclose(float(fs_s2.lse), float(fs_12.lse), atol=1e-4)
+        assert np.isclose(float(fs_s2.lse2), float(fs_12.lse2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fs_s2.x_est),
+                                   np.asarray(fs_12.x_est), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fs_s2.x_true),
+                                   np.asarray(fs_12.x_true), atol=1e-6)
+
+    def test_resample_branch_global_comb(self):
+        """A skewed cloud trips the gate; resampled particles must come
+        from the heavy support on EVERY shard (global comb)."""
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+
+        n = 256
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       resample_method="hist", ess_threshold_frac=0.5)
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        fs = sharded_pf_fused_init(cfg, mesh, tile_n=32)
+        # Make the LAST device's particles heavy and distinctive.
+        p = np.asarray(fs.particles).copy()
+        lw = np.full_like(np.asarray(fs.log_w), -30.0)
+        n_local = n // 8
+        p[0, -n_local:] = 99.0  # x = 99 marks the heavy shard
+        lw[0, -n_local:] = 0.0
+        lse = float(np.log(np.sum(np.exp(lw[np.isfinite(lw)]))))
+        lse2 = float(np.log(np.sum(np.exp(2 * lw[np.isfinite(lw)]))))
+        fs = fs._replace(particles=jnp.asarray(p), log_w=jnp.asarray(lw),
+                         lse=jnp.float32(lse), lse2=jnp.float32(lse2))
+        fs2, ess = jax.jit(lambda f, k: sharded_pf_fused_step(
+            cfg, mesh, f, k, 0, noise_on=False, interpret=True,
+            tile_n=32))(fs, jax.random.key(1))
+        assert float(ess) < n * cfg.ess_threshold_frac
+        out = np.asarray(fs2.particles)
+        lw2 = np.asarray(fs2.log_w)
+        # Every VALID lane descends from an x=99 particle (advanced one
+        # noise-free step; x moves by < 2 per step).
+        assert (out[0][np.isfinite(lw2[0])] > 90.0).all()
+
+    def test_tracks_truth(self):
+        """30 sharded fused steps (noise-free kernel): the MAP estimate
+        follows the deterministic orbit."""
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+
+        cfg = PfConfig(num_particles=128, weight_mode="log",
+                       resample_method="hist")
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        fs = sharded_pf_fused_init(cfg, mesh, tile_n=16)
+        step = jax.jit(lambda f, k: sharded_pf_fused_step(
+            cfg, mesh, f, k, 0, noise_on=False, interpret=True,
+            tile_n=16))
+        for i in range(30):
+            fs, _ = step(fs, jax.random.key(i))
+        err = np.linalg.norm(np.asarray(fs.x_est[:2] - fs.x_true[:2]))
+        assert err < 0.5  # all particles ride the same noise-free orbit
 
 
 class TestShardedGraphAssembly:

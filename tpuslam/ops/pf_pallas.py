@@ -274,13 +274,19 @@ def pf_fused_predict_weight(cfg: PfConfig, seed, particles, log_w, z,
 
 
 def _pf_stats_call(cfg: PfConfig, seed, uniform_flag, p_in, lw_in, z,
-                   tile_n: int, noise_on: bool, interpret: bool):
+                   tile_n: int, noise_on: bool, interpret: bool,
+                   n_valid: int | None = None):
     """Raw-layout stats kernel call: ``(3, N_pad)`` / ``(1, N_pad)`` in
-    and out, no transposes (the scan carry stays in kernel layout)."""
+    and out, no transposes (the scan carry stays in kernel layout).
+
+    ``n_valid`` overrides the valid lane count (defaults to the full
+    particle count; the particle-sharded path passes its local shard
+    size)."""
     n_pad = p_in.shape[1]
-    kernel = functools.partial(_pf_stats_kernel, cfg=cfg,
-                               noise_on=noise_on,
-                               n_valid=cfg.num_particles, tile_n=tile_n)
+    kernel = functools.partial(
+        _pf_stats_kernel, cfg=cfg, noise_on=noise_on,
+        n_valid=cfg.num_particles if n_valid is None else n_valid,
+        tile_n=tile_n)
     row3 = pl.BlockSpec((3, tile_n), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     row1 = pl.BlockSpec((1, tile_n), lambda i: (0, i),

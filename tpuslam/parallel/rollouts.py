@@ -60,6 +60,153 @@ def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int):
     return fn(keys)
 
 
+def sharded_pf_fused_init(cfg: PfConfig, mesh, tile_n: int = 2048):
+    """Particle-sharded fused-PF state: each device block is
+    ``[n_local valid lanes | padding]`` in the kernel's row layout.
+
+    Returns a :class:`tpuslam.ops.pf_pallas.PfFusedState` whose
+    ``particles (3, n_dev * n_local_pad)`` / ``log_w`` are meant to be
+    sharded over the ``particle`` mesh axis by
+    :func:`sharded_pf_fused_step`; scalars are replicated.
+    """
+    from tpuslam.ops.pf_pallas import PfFusedState
+
+    n_total = cfg.num_particles
+    n_dev = mesh.shape[PARTICLE_AXIS]
+    if n_total % n_dev:
+        raise ValueError(f"{n_total} particles not divisible by "
+                         f"{n_dev} devices")
+    n_local = n_total // n_dev
+    tile = min(tile_n, n_local)
+    n_local_pad = -(-n_local // tile) * tile
+
+    x0 = jnp.asarray(cfg.x0, jnp.float32)
+    p_block = jnp.tile(x0[:, None], (1, n_local))
+    p_block = jnp.concatenate(
+        [p_block, jnp.zeros((3, n_local_pad - n_local), jnp.float32)],
+        axis=1)
+    lw_block = jnp.concatenate(
+        [jnp.full((1, n_local), -jnp.log(float(n_total)), jnp.float32),
+         jnp.full((1, n_local_pad - n_local), -jnp.inf, jnp.float32)],
+        axis=1)
+    return PfFusedState(
+        x_true=x0,
+        particles=jnp.tile(p_block, (1, n_dev)),
+        log_w=jnp.tile(lw_block, (1, n_dev)),
+        lse=jnp.float32(0.0),  # logsumexp of normalized log weights
+        lse2=jnp.float32(-jnp.log(float(n_total))),  # ESS = n_total
+        x_est=x0)
+
+
+def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
+                          noise_on: bool = True, interpret: bool = False,
+                          tile_n: int = 2048):
+    """One fused-kernel PF step with the cloud sharded over ``particle``.
+
+    The production-scale composition of the two PF tiers: each device
+    runs the Pallas stats kernel (:mod:`tpuslam.ops.pf_pallas`) on its
+    local shard in one pass; the per-device ``(lse, lse2)`` reductions
+    combine into global normalizers with two scalar pmax+psum rounds
+    (online logsumexp across devices); the MAP estimate is an argmax over
+    the per-device kernel candidates; the ESS-gated systematic resample
+    all-gathers the valid lanes so the global comb (reference semantics)
+    stays exact, each device keeping its slice.
+
+    Only ``estimate="map"`` is supported (the kernel computes it).
+
+    Args:
+        fs: state from :func:`sharded_pf_fused_init` (or a previous
+            step); ``particles``/``log_w`` sharded over ``particle``.
+
+    Returns:
+        ``(next_fs, ess)`` - ESS before resampling, replicated.
+    """
+    from tpuslam.filters.pf import resample_indices
+    from tpuslam.ops.pf_pallas import PfFusedState as _FS
+    from tpuslam.ops.pf_pallas import _pf_stats_call
+
+    if cfg.estimate != "map":
+        raise NotImplementedError(
+            "sharded fused PF computes the MAP estimate in-kernel; "
+            "estimate='mean' is only on the single-device paths")
+    n_total = cfg.num_particles
+    n_dev = mesh.shape[PARTICLE_AXIS]
+    if n_total % n_dev:
+        raise ValueError(f"{n_total} particles not divisible by "
+                         f"{n_dev} devices")
+    n_local = n_total // n_dev
+    tile = min(tile_n, n_local)
+
+    def local(x_true, p_rows, lw_rows, lse, lse2, key, seed):
+        my = jax.lax.axis_index(PARTICLE_AXIS)
+        k_rs, k_obs = jax.random.split(key)
+
+        # Truth + observation (replicated math, same key everywhere).
+        x_true = circular_step(x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
+        lm = jnp.asarray(cfg.landmarks)
+        z = world_to_robot(x_true, lm)
+        z = z + jax.random.normal(k_obs, z.shape,
+                                  z.dtype) * jnp.asarray(cfg.r_std)
+
+        bad = ~(jnp.isfinite(lse) & jnp.isfinite(lse2))
+        ess = jnp.where(bad, float(n_total),
+                        jnp.exp(2.0 * lse - lse2))
+        do_rs = ess < n_total * cfg.ess_threshold_frac
+
+        def rs(p, lw):
+            # Gather only the VALID lanes (padding is per-device).
+            all_lw = jax.lax.all_gather(lw[:, :n_local], PARTICLE_AXIS,
+                                        axis=1, tiled=True)[0]
+            all_p = jax.lax.all_gather(p[:, :n_local], PARTICLE_AXIS,
+                                       axis=1, tiled=True)
+            w = jnp.exp(all_lw - lse)
+            idx = resample_indices(k_rs, w, method=cfg.resample_method)
+            idx_loc = jax.lax.dynamic_slice_in_dim(idx, my * n_local,
+                                                   n_local)
+            p2 = jnp.zeros_like(p).at[:, :n_local].set(all_p[:, idx_loc])
+            lw2 = jnp.full_like(lw, -jnp.inf).at[:, :n_local].set(0.0)
+            return p2, lw2
+
+        p_rows, lw_rows = jax.lax.cond(
+            do_rs, rs, lambda p, lw: (p, lw), p_rows, lw_rows)
+        flag = jnp.where(bad & ~do_rs, 1.0, 0.0)
+
+        p_rows, lw_rows, stats = _pf_stats_call(
+            cfg, seed + my * 7919, flag, p_rows, lw_rows, z, tile,
+            noise_on, interpret, n_valid=n_local)
+
+        # Online logsumexp across devices (exp(-inf - m) == 0 handles
+        # all-padding shards gracefully).
+        def global_lse(v):
+            m = jax.lax.pmax(v, PARTICLE_AXIS)
+            return m + jnp.log(jax.lax.psum(jnp.exp(v - m),
+                                            PARTICLE_AXIS))
+
+        lse_g = global_lse(stats[0])
+        lse2_g = global_lse(stats[1])
+
+        # Global MAP: argmax over the per-device kernel candidates.
+        cand = jax.lax.all_gather(stats[2:6], PARTICLE_AXIS)  # (n_dev, 4)
+        best = jnp.argmax(cand[:, 3])
+        x_est = jnp.where(jnp.isfinite(lse_g), cand[best, :3],
+                          p_rows[:, 0])
+
+        return x_true, p_rows, lw_rows, lse_g, lse2_g, x_est, ess
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, PARTICLE_AXIS), P(None, PARTICLE_AXIS),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P(None, PARTICLE_AXIS), P(None, PARTICLE_AXIS),
+                   P(), P(), P(), P()),
+        check_vma=False)
+    x_true, p_rows, lw_rows, lse, lse2, x_est, ess = fn(
+        fs.x_true, fs.particles, fs.log_w, fs.lse, fs.lse2, key,
+        jnp.asarray(seed, jnp.int32))
+    return _FS(x_true=x_true, particles=p_rows, log_w=lw_rows, lse=lse,
+               lse2=lse2, x_est=x_est), ess
+
+
 def sharded_pf_step(cfg: PfConfig, mesh, state: PfState, key):
     """One PF step with the particle cloud sharded over ``particle``.
 
