@@ -18,6 +18,12 @@ right trade on an MXU that is >99% idle in the Thomas scan.  The shapes
 halve each level, so the level loop is a plain unrolled Python loop
 (static shapes; no lax.scan and none of its per-iteration overhead).
 
+Measured crossover (v5e, band 40): CR wins up to ~10k poses (0.111 s vs
+0.135 s at 10k for the full GN solve); at 100k+ both are compute-bound
+and the Thomas scan wins (0.41 s vs 1.23 s) - CR's power-of-two block
+padding and extra flops outgrow its depth advantage.  Pick ``"cr"`` for
+latency-sensitive medium trajectories, ``"tridiag"`` at very large T1.
+
 Same numerical guards as the Thomas path: symmetric Jacobi prescaling
 and symmetrized Schur complements (see tridiag.py).
 """
