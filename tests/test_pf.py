@@ -193,3 +193,23 @@ class TestHistResample:
         counts = np.bincount(idx, minlength=n)
         expect = n * w
         assert np.all(np.abs(counts - expect) <= 1.0 + 1e-6)
+
+
+class TestBatchedRollouts:
+    def test_pf_rollout_batch_matches_single(self):
+        """Per-filter results of the vmapped sweep equal individual
+        rollouts (the vmap'd cond-as-select must not change selection)."""
+        from tpuslam.filters import pf_rollout_batch
+
+        cfg = PfConfig(num_particles=64, weight_mode="log")
+        keys = jax.random.split(jax.random.key(7), 4)
+        finals, outs = jax.jit(
+            lambda k: pf_rollout_batch(cfg, k, 15))(keys)
+        assert outs.x_est.shape == (4, 15, 3)
+        for b in range(4):
+            _, single = pf_rollout(cfg, keys[b], 15)
+            np.testing.assert_allclose(np.asarray(outs.x_est[b]),
+                                       np.asarray(single.x_est),
+                                       atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(outs.resampled[b]),
+                                          np.asarray(single.resampled))

@@ -3,7 +3,7 @@
 from tpuslam.filters.ekf import (EkfConfig, EkfOut, EkfState, ekf_init,
                                  ekf_predict, ekf_rollout, ekf_rollout_batch,
                                  ekf_step, ekf_step_with_noise, ekf_update)
-from tpuslam.filters.pf import (PfConfig, PfOut, PfState,
+from tpuslam.filters.pf import (PfConfig, PfOut, PfState, pf_rollout_batch,
                                 bivariate_normal_pdf, effective_sample_size,
                                 pf_estimate, pf_init, pf_likelihood,
                                 pf_rollout, pf_step, systematic_resample)
@@ -14,5 +14,5 @@ __all__ = [
     "ekf_update",
     "PfConfig", "PfOut", "PfState", "bivariate_normal_pdf",
     "effective_sample_size", "pf_estimate", "pf_init", "pf_likelihood",
-    "pf_rollout", "pf_step", "systematic_resample",
+    "pf_rollout", "pf_rollout_batch", "pf_step", "systematic_resample",
 ]

@@ -324,3 +324,24 @@ def pf_rollout(cfg: PfConfig, key, n_steps: int,
         return s, out
 
     return jax.lax.scan(body, state0, keys)
+
+
+def pf_rollout_batch(cfg: PfConfig, keys, n_steps: int):
+    """Batch of independent PF rollouts, vmapped over seeds.
+
+    The Monte-Carlo sweep shape for MANY SMALL filters (the reference's
+    own 1000-particle scale): ``B`` filters advance in lockstep on one
+    chip, so the per-scan-iteration overhead and the resample cost
+    amortize over the batch.  Note vmap turns the per-filter ESS gate's
+    ``lax.cond`` into a select, so BOTH branches execute each step -
+    per-filter results are identical to :func:`pf_rollout`, but the
+    resample cost is always paid; at large ``num_particles`` with few
+    filters prefer the fused kernel paths.
+
+    Args:
+        keys: ``(B,)`` PRNG keys.
+
+    Returns:
+        ``(final_states, outs)`` with a leading ``B`` axis.
+    """
+    return jax.vmap(lambda k: pf_rollout(cfg, k, n_steps))(keys)
