@@ -226,3 +226,111 @@ class TestPfStatsKernel:
         # propagated particle.
         np.testing.assert_allclose(np.asarray(fs2.x_est),
                                    np.asarray(st2.particles[0]), atol=1e-6)
+
+
+class TestMergeResampleKernel:
+    """Two-pass Pallas merge resample vs the shared-t XLA decode oracle
+    (ops/resample_pallas.py; selection must be bit-identical to the
+    "hist" method of filters/pf.py::resample_indices)."""
+
+    @staticmethod
+    def _oracle(key, p_rows, w_row, n):
+        from tpuslam.ops.resample_pallas import (decode_indices,
+                                                 slot_boundaries)
+
+        offs = jax.random.uniform(key, dtype=jnp.float32)
+        idx = decode_indices(slot_boundaries(w_row, n, offs), n)
+        return jnp.zeros_like(p_rows).at[:, :n].set(
+            p_rows[:, :n][:, idx])
+
+    @staticmethod
+    def _weights(rng, n, n_pad, scale):
+        lw = rng.normal(size=n_pad) * scale
+        lw[n:] = -np.inf
+        w = np.exp(lw - lw[:n].max())
+        w /= w.sum()
+        w[n:] = 0.0
+        return jnp.asarray(w, jnp.float32)[None, :]
+
+    @pytest.mark.parametrize("n,n_pad,scale", [
+        (1000, 1024, 8.0),   # degenerate weights (the gate-firing regime)
+        (900, 1024, 0.1),    # near-uniform (dense survivors)
+        (5000, 8192, 8.0),   # multi-tile with padded tail
+    ])
+    def test_matches_hist_decode_exactly(self, rng, n, n_pad, scale):
+        from tpuslam.ops import merge_resample_rows
+
+        w_row = self._weights(rng, n, n_pad, scale)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(n)
+        out = merge_resample_rows(key, p, w_row, n, t_in=1024, t_k=1024,
+                                  t_out=1024, w_b=3, interpret=True)
+        ref = self._oracle(key, p, w_row, n)
+        assert bool(jnp.all(out == ref))
+
+    def test_single_survivor(self, rng):
+        """All mass on one particle: every output is that particle."""
+        from tpuslam.ops import merge_resample_rows
+
+        n, n_pad = 1000, 1024
+        w = np.zeros(n_pad, np.float32)
+        w[377] = 1.0
+        w_row = jnp.asarray(w)[None]
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(0)
+        out = merge_resample_rows(key, p, w_row, n, t_in=256, t_k=256,
+                                  t_out=256, w_b=2, interpret=True)
+        assert bool(jnp.all(out[:, :n] == p[:, 377:378]))
+        assert bool(jnp.all(out[:, n:] == 0.0))
+
+    def test_fallback_paths_match(self, rng):
+        """Static caps exceeded (uniform weights -> ~N survivors): both
+        the compact-cap and window-cap fallbacks must still produce the
+        exact decode result."""
+        from tpuslam.ops import merge_resample_rows
+
+        n, n_pad = 1000, 1024
+        w = np.zeros(n_pad, np.float32)
+        w[:n] = 1.0 / n
+        w_row = jnp.asarray(w)[None]
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(1)
+        ref = self._oracle(key, p, w_row, n)
+        # t_k too small for ~250 survivors/tile -> pass-1 fallback.
+        out = merge_resample_rows(key, p, w_row, n, t_in=256, t_k=128,
+                                  t_out=256, w_b=4, interpret=True)
+        assert bool(jnp.all(out == ref))
+        # w_b too small for multi-block survivor windows -> pass-2
+        # fallback.
+        out = merge_resample_rows(key, p, w_row, n, t_in=256, t_k=256,
+                                  t_out=256, w_b=1, interpret=True)
+        assert bool(jnp.all(out == ref))
+
+    def test_fused_step_merge_equals_hist(self, rng):
+        """pf_fused_step_stats with resample_method="merge" is
+        bit-identical to "hist" on the resample branch (noise-free)."""
+        from tpuslam.filters.pf import PfConfig, pf_init
+        from tpuslam.ops.pf_pallas import (pf_fused_init,
+                                           pf_fused_step_stats)
+
+        n = 100
+        parts = jnp.asarray(
+            rng.normal(size=(n, 3)) + np.array([10.0, 0.0, np.pi / 2]),
+            jnp.float32)
+        w = jnp.full((n,), 1e-12).at[-5:].set(0.2)
+        w = w / jnp.sum(w)
+        outs = []
+        for method in ("hist", "merge"):
+            cfg = PfConfig(num_particles=n, weight_mode="log",
+                           resample_method=method,
+                           ess_threshold_frac=0.5)
+            state = pf_init(cfg)._replace(particles=parts, weights=w)
+            fs = pf_fused_init(cfg, state, tile_n=64)
+            fs2, ess = pf_fused_step_stats(cfg, fs, jax.random.key(0), 0,
+                                           noise_on=False, interpret=True)
+            assert float(ess) < n * cfg.ess_threshold_frac
+            outs.append(fs2)
+        np.testing.assert_array_equal(np.asarray(outs[0].particles),
+                                      np.asarray(outs[1].particles))
+        np.testing.assert_array_equal(np.asarray(outs[0].log_w),
+                                      np.asarray(outs[1].log_w))

@@ -69,7 +69,9 @@ class PfConfig:
     weight_mode: str = "linear"
     #: "search" = searchsorted comb (reference-exact selection); "hist" =
     #: histogram+cumsum equivalent, much faster on TPU at large NP (see
-    #: systematic_resample).
+    #: systematic_resample); "merge" = hist selection through the Pallas
+    #: merge kernel on the fused-step path (ops/resample_pallas.py; the
+    #: XLA paths treat it as "hist").
     resample_method: str = "search"
 
     @property
@@ -127,6 +129,8 @@ def resample_indices(key, weights, method: str = "search"):
     n = weights.shape[-1]
     cum = jnp.cumsum(weights, axis=-1)
     offs = jax.random.uniform(key, dtype=weights.dtype)  # in units of 1/n
+    if method == "merge":  # kernel method; identical selection to "hist"
+        method = "hist"
     if method == "hist":
         # t_j = ceil(n * cum_j - offs); out_idx[i] = #{j : t_j <= i}
         #     = searchsorted(cum, (i + offs)/n, 'left') for float-generic

@@ -459,9 +459,16 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
 
     def rs(p, lw):
         # Padded lanes have lw = -inf -> weight 0 -> never selected.
-        w = jnp.exp(lw[0, :n] - fs.lse)
-        idx = resample_indices(k_rs, w, method=cfg.resample_method)
-        p2 = jnp.zeros_like(p).at[:, :n].set(p[:, :n][:, idx])
+        if cfg.resample_method == "merge":
+            from tpuslam.ops.resample_pallas import merge_resample_rows
+
+            w_row = jnp.exp(lw - fs.lse)  # padded -inf lanes -> 0
+            p2 = merge_resample_rows(k_rs, p, w_row, n,
+                                     interpret=interpret)
+        else:
+            w = jnp.exp(lw[0, :n] - fs.lse)
+            idx = resample_indices(k_rs, w, method=cfg.resample_method)
+            p2 = jnp.zeros_like(p).at[:, :n].set(p[:, :n][:, idx])
         lw2 = jnp.full_like(lw, -jnp.inf).at[0, :n].set(0.0)
         return p2, lw2
 
