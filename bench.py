@@ -77,12 +77,12 @@ def bench_pf(particles=100_000, steps=100):
     return particles * steps / dt
 
 
-def bench_pf_pallas(particles=100_000, steps=100):
+def bench_pf_pallas(particles=100_000, steps=100, resample="merge"):
     from tpuslam.filters import PfConfig
     from tpuslam.ops import pf_fused_rollout
 
     cfg = PfConfig(num_particles=particles, weight_mode="log",
-                   resample_method="hist")
+                   resample_method=resample)
 
     @jax.jit
     def fn(k):

@@ -306,6 +306,42 @@ class TestMergeResampleKernel:
                                   t_out=256, w_b=1, interpret=True)
         assert bool(jnp.all(out == ref))
 
+    @pytest.mark.parametrize("pattern", [
+        "clustered",    # all survivors in one input tile (skips whole
+                        # tiles; exercises empty-block compression)
+        "exact_full",   # survivor counts hitting exact wb2 multiples
+                        # (full window blocks followed by empty ones)
+        "alternating",  # every other input tile empty
+    ])
+    def test_skip_table_patterns(self, rng, pattern):
+        """Adversarial survivor layouts for the skip-table walk: the
+        compressed block list must preserve boundary continuity across
+        skipped (empty / exactly-full) window blocks."""
+        from tpuslam.ops import merge_resample_rows
+
+        n = n_pad = 2048
+        t_in = 256  # t_k=256 -> wb2=128, two window blocks per tile
+        w = np.zeros(n_pad, np.float64)
+        if pattern == "clustered":
+            w[512:520] = 1.0       # 8 survivors, one tile
+        elif pattern == "exact_full":
+            # tile 0 gets exactly 128 = wb2 survivors -> a FULL first
+            # window block (zero garbage lanes) + an empty second one
+            w[0:128] = 1.0
+            w[1024] = 128.0         # and one heavy lone survivor
+        else:
+            for j in range(0, n_pad // t_in, 2):
+                w[j * t_in:j * t_in + 5] = 1.0
+        w /= w.sum()
+        w_row = jnp.asarray(w, jnp.float32)[None, :]
+        w_row = w_row / jnp.sum(w_row)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(42)
+        out = merge_resample_rows(key, p, w_row, n, t_in=t_in, t_k=256,
+                                  t_out=256, w_b=4, interpret=True)
+        ref = self._oracle(key, p, w_row, n)
+        assert bool(jnp.all(out == ref))
+
     def test_fused_step_merge_equals_hist(self, rng):
         """pf_fused_step_stats with resample_method="merge" is
         bit-identical to "hist" on the resample branch (noise-free)."""

@@ -2,11 +2,10 @@
 
 The XLA path for the PF's systematic resample (particle_filter.py:200-224
 in the reference; ``filters/pf.py::resample_indices(method="hist")`` here)
-is floor-bound by gather/scatter: on a v5e, any 1M-index scatter costs
-~5 ms, the index-decode cummax ~3 ms, and the (3, N) particle gather
-~5 ms regardless of unique/sorted flags (scripts/tpu_resample_micro*.py),
-so a 1M-particle resample pays ~14 ms while the fused PF step kernel
-itself costs ~1.2 ms.
+is floor-bound by gather/scatter: on a v5e, the boundary decode
+(scatter + cummax) costs ~7.5 ms and the (3, N) particle gather ~5-12 ms
+at N=1M regardless of unique/sorted flags (scripts/tpu_resample_micro*.py),
+while the fused PF step kernel itself costs ~1.2 ms.
 
 Both sides of the resample are SORTED - the slot boundaries
 ``t_j = ceil(N*cum_j - offs)`` are non-decreasing in j, and the output
@@ -17,22 +16,33 @@ exploit where XLA's scatter/gather lowering cannot:
   pass 1 (block compaction)  Each input tile pulls its survivors
       (particles with slot count ``c_j = t_j - t_{j-1} > 0``) to the
       front of a fixed ``t_k``-lane output block with a one-hot
-      selection matmul (lane permutation on TPU *is* a matmul).
-      Unused block lanes are filled with the tile's RUNNING boundary
-      (``t`` at the tile's last lane) and zero values, which makes them
-      cover an empty slot interval - inert by construction, and exactly
-      the boundary the next real survivor needs on its left.  All
-      offsets static: no DMA, no alignment constraints.
+      selection matmul (lane permutation on TPU *is* a matmul).  Each
+      compacted lane carries its particle values AND its full slot
+      interval ``[t_{j-1}, t_j)`` - the left boundary is compacted as
+      ordinary value rows, so every lane self-describes its interval
+      and pass 2 needs no cross-lane or cross-block boundary chaining.
+      Unused block lanes are filled with empty intervals (left = right
+      = the tile's running boundary) and zero values - inert by
+      construction.  All offsets static: no DMA, no alignment
+      constraints.
 
-  pass 2 (expansion)   In block-compacted space the boundary row is
+  pass 2 (expansion)   In block-compacted space the boundary rows are
       still non-decreasing, so the survivors feeding one output tile
-      live in a short contiguous run of 128-lane window blocks found by
-      a tiny searchsorted over the tile corners.  A 2D grid walks
-      ``w_b`` window blocks per output tile (input block index comes
-      from a scalar-prefetch map, so Pallas pipelines the loads), each
-      expanded with a boundary-interval one-hot matmul accumulated into
-      the revisited output block; blocks past the needed span are
-      skipped with ``pl.when``.
+      live in a short contiguous run of 128-lane window blocks.  The
+      walk runs over a SKIP TABLE: the per-tile survivor counts (known
+      in XLA from one cheap reduction) give each window block's
+      occupancy, empty blocks are compressed away, and a searchsorted
+      over the ~nt_in compressed block-end boundaries finds each output
+      tile's feeder run - so the walked space is near-dense (the only
+      dilution is the garbage tail of each tile's last partial block).
+      A 2D grid walks ``w_b`` compressed blocks per output tile (block
+      index from a scalar-prefetch map, so Pallas pipelines the loads);
+      each visited block is expanded with a slot-interval one-hot
+      matmul ``vals @ M`` accumulated into the revisited output block,
+      where ``M[u, i] = (t_lo_u <= i < t_hi_u)`` is built directly in
+      MXU-feed orientation (K=lanes, N=slots; no transpose, no carry,
+      no roll - every lane's interval is local).  Blocks past the
+      needed span are skipped with ``pl.when``.
 
 EXACTNESS AND COST.  The MXU pads the value-rows dimension of these
 one-hot matmuls to 128 sublanes, so stacking more value rows is free -
@@ -49,11 +59,13 @@ including the reference's trailing ``clip(idx, 0, n-1)`` semantics via a
 forced ``t[n-1] = n``).
 
 Static caps keep shapes compile-friendly: at most ``t_k`` survivors per
-``t_in``-lane input tile and a ``w_b``-block survivor window per output
-tile.  Both hold with large margin when the ESS gate fires (survivor
-fraction well below t_k/t_in = 25%); if either fails (e.g. a
-near-uniform resample with ~N survivors) the function falls back to the
-XLA decode+gather path inside ``lax.cond`` - same result, old speed.
+``t_in``-lane input tile and a ``w_b``-compressed-block survivor window
+per output tile.  Both hold with large margin when the ESS gate fires
+(measured production profile at 1M particles: 4-8% survivors, max ~116
+per 1024-lane tile - scripts/tpu_pf_survivors.py); if either fails
+(e.g. a near-uniform resample with ~N survivors) the function falls
+back to the XLA decode+gather path inside ``lax.cond`` - same result,
+old speed.
 """
 
 from __future__ import annotations
@@ -66,6 +78,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _WB2 = 128  # pass-2 window block lanes (decoupled from pass-1's t_k)
+
+# Row layout of the compacted value stack: 5 variables (x, y, yaw,
+# t_hi=right boundary, t_lo=left boundary) x 3 bf16 split rows each,
+# variable-major: rows [3v, 3v+1, 3v+2] are variable v's hi/mid/lo.
+_NV = 5
+_ROWS = 3 * _NV
 
 
 def slot_boundaries(w_row, n: int, offs):
@@ -127,11 +145,14 @@ def _compact_kernel(vals_ref, g_ref, f_ref, out_ref, *, t_k: int):
     """Pass 1: one-hot-matmul block compaction (static output blocks).
 
     ``sel[k, j] = (j survives) & (local rank of j == k)``;
-    ``vals @ sel^T`` pulls the tile's ``cnt <= t_k`` survivors (12 bf16
-    split rows: x/y/yaw/boundary x hi/mid/lo) to the block's leading
-    columns.  Trailing columns: values exact zero (empty sel), boundary
-    = the tile's running boundary, so they cover an empty interval and
-    hand the correct left boundary to the next block's first survivor.
+    ``vals @ sel^T`` pulls the tile's ``cnt <= t_k`` survivors (15 bf16
+    split rows: x/y/yaw/t_hi/t_lo x hi/mid/lo) to the block's leading
+    columns.  Trailing columns get an INERT fill: values from the
+    tile's last input lane (don't-care - their sel column is all-zero,
+    so the matmul wrote exact zeros; the fill only overwrites those
+    zeros), and an EMPTY slot interval - both boundary variables (rows
+    9-14) set to the tile's running right boundary, which also keeps
+    the block-end boundary row correct for the skip table.
     """
     t_in = g_ref.shape[1]
     base = g_ref[0, 0]
@@ -141,54 +162,56 @@ def _compact_kernel(vals_ref, g_ref, f_ref, out_ref, *, t_k: int):
     sel = ((krow == k_local) & (f_ref[0:1, :] > 0)).astype(jnp.bfloat16)
     compact = jax.lax.dot_general(
         vals_ref[:, :], sel, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (12, t_k) f32, exact
+        preferred_element_type=jnp.float32)  # (15, t_k) f32, exact
     kcol = jax.lax.broadcasted_iota(jnp.int32, (1, t_k), 1)
     live = kcol < cnt
-    # Garbage lanes replicate the tile's LAST input lane: the boundary
-    # split rows (3/7/11) get the running boundary (empty interval, and
-    # the correct left edge for the next block's first survivor); the
-    # value rows get a finite don't-care (their M column is all-zero).
-    out_ref[:, :] = jnp.where(live, compact.astype(jnp.bfloat16),
-                              vals_ref[:, t_in - 1:t_in])
+    # Inert fill: last input lane's rows, with the t_lo split rows
+    # (12-14) replaced by the t_hi split rows (9-11) so garbage
+    # intervals are empty ([t_run, t_run)).
+    f = vals_ref[:, t_in - 1:t_in]  # (15, 1)
+    fill = jnp.concatenate([f[0:12], f[9:12]], axis=0)
+    out_ref[:, :] = jnp.where(live, compact.astype(jnp.bfloat16), fill)
 
 
-def _expand_kernel(sb_ref, span_ref, tc_ref, out_ref, carry, *,
+def _expand_kernel(sb_ref, span_ref, blk_ref, tc_ref, out_ref, *,
                    t_out: int, wb2: int):
     """Pass 2: windowed run-length expansion, one window block per step.
 
-    Window lane u (block-compacted lane ``(sb[b]+w)*128 + u``) covers
-    output slots ``[t'[u-1], t'[u])``; ``M[i, u]`` selects it for slot
-    ``i`` and ``vals @ M^T`` accumulates into the revisited output
-    block (split rows recombined exactly in f32).  The left boundary of
-    lane 0 crosses window blocks via the SMEM ``carry`` (+inf at w=0:
-    lane 0 of the first window block is boundary-only by construction
-    of ``sb``).  Inert lanes (garbage fills, survivors left of the
-    window's first feeder) self-mask: their intervals are empty or end
-    at/before the tile's first slot.
+    Window lane u covers output slots ``[t_lo_u, t_hi_u)`` (both read
+    from the block's own rows - no cross-lane chaining, no carry, no
+    roll: every lane's interval is local, so the grid has no sequential
+    dependency).  ``M[i, u] = (t_lo_u <= i < t_hi_u)`` selects lane u
+    for slot ``i`` and ``vals @ M^T`` accumulates into the revisited
+    output block (same dot orientation as pass 1), with the bf16 split
+    rows recombined exactly in f32.  Inert lanes (garbage fills,
+    survivors outside the tile's slot range) self-mask: their intervals
+    are empty or disjoint from the tile.
     """
     b = pl.program_id(0)
     w = pl.program_id(1)
 
     @pl.when(w == 0)
     def _reset():
-        carry[0] = jnp.inf
         out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     @pl.when(w < span_ref[b])
     def _accumulate():
-        tw = (tc_ref[3:4, :].astype(jnp.float32)
-              + tc_ref[7:8, :].astype(jnp.float32)
-              + tc_ref[11:12, :].astype(jnp.float32))  # (1, wb2) exact
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, wb2), 1)
-        t_lo = jnp.where(lane == 0, carry[0], pltpu.roll(tw, 1, 1))
+        t_hi = (tc_ref[9:10, :].astype(jnp.float32)
+                + tc_ref[10:11, :].astype(jnp.float32)
+                + tc_ref[11:12, :].astype(jnp.float32))  # (1, wb2)
+        t_lo = (tc_ref[12:13, :].astype(jnp.float32)
+                + tc_ref[13:14, :].astype(jnp.float32)
+                + tc_ref[14:15, :].astype(jnp.float32))
         i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
              + b * t_out).astype(jnp.float32)
-        m = ((i >= t_lo) & (i < tw)).astype(jnp.bfloat16)
+        m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
-            tc_ref[:, :], m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (12, t_out) f32
-        out_ref[:, :] += part[0:3, :] + part[4:7, :] + part[8:11, :]
-        carry[0] = tw[0, wb2 - 1]
+            tc_ref[0:9, :], m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (9, t_out) f32
+        # Variable-major rows: x = 0+1+2, y = 3+4+5, yaw = 6+7+8.
+        out_ref[:, :] += jnp.concatenate(
+            [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
+             + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0)
 
 
 def _pick_tile(n_pad: int, want: int) -> int:
@@ -203,7 +226,7 @@ def _pick_tile(n_pad: int, want: int) -> int:
 @functools.partial(jax.jit, static_argnames=("n", "t_in", "t_k", "t_out",
                                              "w_b", "interpret"))
 def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
-                        t_k: int = 256, t_out: int = 2048, w_b: int = 4,
+                        t_k: int = 256, t_out: int = 2048, w_b: int = 12,
                         interpret: bool = False):
     """Systematic resample of row-major particles, merge-kernel fast path.
 
@@ -220,7 +243,7 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
         t_in / t_k: input tile lanes / survivor block lanes (pass-1
             static cap: at most ``t_k`` survivors per ``t_in`` inputs;
             both multiples of 128 at production sizes).
-        t_out / w_b: output tile lanes / 128-lane window blocks per
+        t_out / w_b: output tile lanes / compressed window blocks per
             output tile (pass-2 static cap on the survivor span).
         interpret: run kernels in interpret mode (CPU tests).
 
@@ -235,11 +258,14 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
     t_k = min(t_k, t_in)
     t_out = _pick_tile(n_pad, t_out)
     wb2 = min(_WB2, t_k)  # pass-2 window block lanes
+    while t_k % wb2:
+        wb2 //= 2
 
     offs = jax.random.uniform(key, dtype=jnp.float32)
     t_row = slot_boundaries(w_row, n, offs)
 
-    # Survivor flags / global exclusive ranks (cheap XLA row passes).
+    # Survivor flags / global exclusive ranks / left boundaries (cheap
+    # XLA row passes).
     tprev = jnp.concatenate(
         [jnp.zeros((1, 1), jnp.int32), t_row[:, :-1]], axis=-1)
     f_row = (t_row > tprev).astype(jnp.int32)
@@ -253,80 +279,95 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
         idx = decode_indices(t_row, n)
         return jnp.zeros_like(p_rows).at[:, :n].set(p_rows[:, :n][:, idx])
 
-    def kernel_path(_):
-        # 12 bf16 rows, grouped by split level: [x y yaw t]_hi, _mid, _lo.
-        hml = split3(jnp.concatenate(
-            [p_rows.astype(jnp.float32), t_row.astype(jnp.float32)],
-            axis=0))
-        vals12 = jnp.concatenate(hml, axis=0)
-        row_in = lambda b: (0, b)  # noqa: E731
-        bc = pl.pallas_call(
-            functools.partial(_compact_kernel, t_k=t_k),
-            grid=(nt_in,),
-            in_specs=[
-                pl.BlockSpec((12, t_in), row_in,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((12, t_k), row_in,
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((12, nt_in * t_k),
-                                           jnp.bfloat16),
+    # ---- pass 1, unconditional (cheap vs the gather it replaces; its
+    # output is discarded on fallback).  15 bf16 rows, variable-major:
+    # [x y yaw t_hi t_lo] x [hi mid lo].
+    stack5 = jnp.concatenate(
+        [p_rows.astype(jnp.float32), t_row.astype(jnp.float32),
+         tprev.astype(jnp.float32)], axis=0)
+    hml = split3(stack5)  # 3 x (5, n_pad) bf16
+    vals15 = jnp.stack(hml, axis=1).reshape(_ROWS, n_pad)
+    row_in = lambda b: (0, b)  # noqa: E731
+    bc = pl.pallas_call(
+        functools.partial(_compact_kernel, t_k=t_k),
+        grid=(nt_in,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, t_in), row_in,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, t_k), row_in,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, nt_in * t_k),
+                                       jnp.bfloat16),
+        interpret=interpret,
+    )(vals15, g_row, f_row)
+
+    # w_b inert trailing blocks (empty interval [n, n), values 0): the
+    # safe target for padded skip-table entries and clamped windows.
+    nh, nm, nl = split3(jnp.float32(n))
+    tail = jnp.zeros((_ROWS, w_b * wb2), jnp.bfloat16)
+    for r, v in ((9, nh), (10, nm), (11, nl), (12, nh), (13, nm),
+                 (14, nl)):
+        tail = tail.at[r].set(v)
+    tc15 = jnp.concatenate([bc, tail], axis=1)
+
+    # ---- skip table (small XLA ops only).  Window-block occupancy
+    # follows from the per-tile survivor counts: tile j's survivors
+    # fill its t_k block front-to-back, so window w of tile j holds
+    # clip(cnt_j - w*wb2, 0, wb2) survivors.  Compress away empty
+    # blocks; every lane self-describes its slot interval, so skipping
+    # needs no boundary bookkeeping.
+    nw = t_k // wb2
+    n_comp_max = nt_in * nw  # total bc window blocks
+    n_blk = n_comp_max + w_b  # + padded entries -> first tail block
+    occ_ne = (cnt[:, None]
+              > jnp.arange(nw, dtype=cnt.dtype)[None, :] * wb2)
+    nonempty = occ_ne.reshape(-1).astype(jnp.int32)  # ordered (j, w)
+    pos = jnp.cumsum(nonempty) - nonempty  # exclusive rank
+    tgt = jnp.where(nonempty > 0, pos, n_blk)  # drop empties
+    blk_ids = jnp.full((n_blk,), n_comp_max, jnp.int32).at[tgt].set(
+        jnp.arange(n_comp_max, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    # Block-end boundaries of the compressed blocks (exact ints in f32;
+    # padded entries land in the tail -> boundary n, keeping the row
+    # non-decreasing).
+    tc_hi = (tc15[9].astype(jnp.float32) + tc15[10].astype(jnp.float32)
+             + tc15[11].astype(jnp.float32))
+    tb_last = tc_hi[(blk_ids + 1) * wb2 - 1]  # (n_blk,)
+
+    # Per-output-tile feeder runs: searchsorted over the compressed
+    # block-end boundaries (~nt_in entries, a few hundred queries).
+    nt_out = n_pad // t_out
+    i0 = jnp.arange(nt_out, dtype=jnp.int32) * t_out
+    i_last = jnp.minimum(i0 + t_out, n) - 1
+    sb_raw = jnp.searchsorted(tb_last, i0.astype(jnp.float32),
+                              side="right").astype(jnp.int32)
+    le = jnp.searchsorted(tb_last, i_last.astype(jnp.float32),
+                          side="right").astype(jnp.int32)
+    sb = jnp.clip(sb_raw, 0, n_blk - w_b)
+    span = jnp.clip(le - sb + 1, 1, w_b)
+    need = jnp.where(i0 < n, le - sb_raw + 1, 1)
+    ok_window = jnp.max(need) <= w_b
+
+    def expand(_):
+        out = pl.pallas_call(
+            functools.partial(_expand_kernel, t_out=t_out, wb2=wb2),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nt_out, w_b),
+                in_specs=[pl.BlockSpec(
+                    (_ROWS, wb2),
+                    lambda b, w, sb, span, blk: (0, blk[sb[b] + w]),
+                    memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(
+                    (3, t_out), lambda b, w, sb, span, blk: (0, b),
+                    memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
             interpret=interpret,
-        )(vals12, g_row, f_row)
+        )(sb, span, blk_ids, tc15)
+        return out.astype(p_rows.dtype)
 
-        # Sentinel block (boundary 0) in front - the first global
-        # survivor's left boundary - and w_b inert trailing blocks
-        # (boundary n, values 0) so clamped windows stay in range.
-        lead = jnp.zeros((12, wb2), jnp.bfloat16)
-        nh, nm, nl = split3(jnp.float32(n))
-        tail = jnp.zeros((12, w_b * wb2), jnp.bfloat16)
-        for r, v in ((3, nh), (7, nm), (11, nl)):
-            tail = tail.at[r].set(v)
-        tc12 = jnp.concatenate([lead, bc, tail], axis=1)
-        n_blocks = tc12.shape[1] // wb2
-
-        # Per-output-tile windows: searchsorted over tile corners (few
-        # queries - ~linear in query count) on the still-sorted
-        # block-compacted boundary row.  Garbage lanes duplicate their
-        # survivor's boundary; side="right" lands on the survivor.
-        nt_out = n_pad // t_out
-        tc1 = (tc12[3].astype(jnp.float32)
-               + tc12[7].astype(jnp.float32)
-               + tc12[11].astype(jnp.float32))
-        i0 = jnp.arange(nt_out, dtype=jnp.int32) * t_out
-        i_last = jnp.minimum(i0 + t_out, n) - 1
-        lv = jnp.searchsorted(tc1, i0.astype(jnp.float32),
-                              side="right").astype(jnp.int32)
-        le = jnp.searchsorted(tc1, i_last.astype(jnp.float32),
-                              side="right").astype(jnp.int32)
-        sb = jnp.clip((lv - 1) // wb2, 0, n_blocks - w_b)
-        span = jnp.clip(le // wb2 - sb + 1, 1, w_b)
-        need = jnp.where(i0 < n, le // wb2 - (lv - 1) // wb2 + 1, 1)
-        ok_window = jnp.max(need) <= w_b
-
-        def expand(_):
-            out = pl.pallas_call(
-                functools.partial(_expand_kernel, t_out=t_out,
-                                  wb2=wb2),
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=2,
-                    grid=(nt_out, w_b),
-                    in_specs=[pl.BlockSpec(
-                        (12, wb2),
-                        lambda b, w, sb, span: (0, sb[b] + w),
-                        memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec(
-                        (3, t_out), lambda b, w, sb, span: (0, b),
-                        memory_space=pltpu.VMEM),
-                    scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-                ),
-                out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-                interpret=interpret,
-            )(sb, span, tc12)
-            return out.astype(p_rows.dtype)
-
-        return jax.lax.cond(ok_window, expand, xla_path, 0)
-
-    return jax.lax.cond(ok_compact, kernel_path, xla_path, 0)
+    return jax.lax.cond(ok_compact & ok_window, expand, xla_path, 0)
