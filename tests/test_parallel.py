@@ -136,6 +136,71 @@ class TestShardedFusedPf:
         # noise-free step; x moves by < 2 per step).
         assert (out[0][np.isfinite(lw2[0])] > 90.0).all()
 
+    def test_merge_survivor_exchange_matches_gather(self):
+        """resample_method="merge" (survivor exchange: compacted blocks
+        all-gathered, local pass-2 expansion) must be bit-identical to
+        the gather-everything "hist" path - same key, same comb, same
+        boundary tensor, exact kernel values."""
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+
+        n = 256
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        rng = np.random.default_rng(3)
+        p = None
+        outs = {}
+        for method in ("hist", "merge"):
+            cfg = PfConfig(num_particles=n, weight_mode="log",
+                           resample_method=method,
+                           ess_threshold_frac=0.5)
+            fs = sharded_pf_fused_init(cfg, mesh, tile_n=32)
+            if p is None:
+                p = np.asarray(fs.particles).copy()
+                p += rng.normal(size=p.shape) * 0.1
+                lw = rng.normal(size=np.asarray(fs.log_w).shape) * 6.0
+                lw[~np.isfinite(np.asarray(fs.log_w))] = -np.inf
+                fin = lw[np.isfinite(lw)]
+                lse = float(np.log(np.sum(np.exp(fin - fin.max())))
+                            + fin.max())
+                lse2 = float(np.log(np.sum(np.exp(2 * (fin - fin.max()))))
+                             + 2 * fin.max())
+            fs = fs._replace(particles=jnp.asarray(p, jnp.float32),
+                             log_w=jnp.asarray(lw, jnp.float32),
+                             lse=jnp.float32(lse), lse2=jnp.float32(lse2))
+            fs2, ess = jax.jit(lambda f, k, c=cfg: sharded_pf_fused_step(
+                c, mesh, f, k, 0, noise_on=False, interpret=True,
+                tile_n=32))(fs, jax.random.key(7))
+            assert float(ess) < n * cfg.ess_threshold_frac
+            outs[method] = fs2
+        np.testing.assert_array_equal(
+            np.asarray(outs["hist"].particles),
+            np.asarray(outs["merge"].particles))
+        np.testing.assert_array_equal(
+            np.asarray(outs["hist"].log_w), np.asarray(outs["merge"].log_w))
+
+    def test_merge_cap_overflow_falls_back(self):
+        """Near-uniform weights (survivors > t_k per tile) must trip the
+        replicated overflow predicate and still produce the exact
+        gather-path result."""
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+
+        n = 4096  # n_local=512 -> t_in=512, t_k=256 < t_in: overflowable
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        outs = {}
+        for method in ("hist", "merge"):
+            cfg = PfConfig(num_particles=n, weight_mode="log",
+                           resample_method=method,
+                           ess_threshold_frac=2.0)  # always fire
+            fs = sharded_pf_fused_init(cfg, mesh, tile_n=512)
+            fs2, _ = jax.jit(lambda f, k, c=cfg: sharded_pf_fused_step(
+                c, mesh, f, k, 0, noise_on=False, interpret=True,
+                tile_n=512))(fs, jax.random.key(9))
+            outs[method] = fs2
+        np.testing.assert_array_equal(
+            np.asarray(outs["hist"].particles),
+            np.asarray(outs["merge"].particles))
+
     def test_tracks_truth(self):
         """30 sharded fused steps (noise-free kernel): the MAP estimate
         follows the deterministic orbit."""

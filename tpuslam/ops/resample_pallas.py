@@ -173,8 +173,8 @@ def _compact_kernel(vals_ref, g_ref, f_ref, out_ref, *, t_k: int):
     out_ref[:, :] = jnp.where(live, compact.astype(jnp.bfloat16), fill)
 
 
-def _expand_kernel(sb_ref, span_ref, blk_ref, tc_ref, out_ref, *,
-                   t_out: int, wb2: int):
+def _expand_kernel(sb_ref, span_ref, blk_ref, i0_ref, tc_ref, out_ref,
+                   *, t_out: int, wb2: int):
     """Pass 2: windowed run-length expansion, one window block per step.
 
     Window lane u covers output slots ``[t_lo_u, t_hi_u)`` (both read
@@ -203,7 +203,7 @@ def _expand_kernel(sb_ref, span_ref, blk_ref, tc_ref, out_ref, *,
                 + tc_ref[13:14, :].astype(jnp.float32)
                 + tc_ref[14:15, :].astype(jnp.float32))
         i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
-             + b * t_out).astype(jnp.float32)
+             + i0_ref[b]).astype(jnp.float32)
         m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
             tc_ref[0:9, :], m, (((1,), (1,)), ((), ())),
@@ -212,6 +212,124 @@ def _expand_kernel(sb_ref, span_ref, blk_ref, tc_ref, out_ref, *,
         out_ref[:, :] += jnp.concatenate(
             [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
              + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0)
+
+
+def compact_particles(p_rows, t_row, tprev, f_row, g_row, t_in: int,
+                      t_k: int, interpret: bool = False):
+    """Pass-1 call: compact survivors per input tile (see module doc).
+
+    Returns the ``(15, (n_pad // t_in) * t_k)`` bf16 compacted stack
+    (variable-major split rows ``[x y yaw t_hi t_lo] x [hi mid lo]``).
+    """
+    n_pad = p_rows.shape[1]
+    nt_in = n_pad // t_in
+    stack5 = jnp.concatenate(
+        [p_rows.astype(jnp.float32), t_row.astype(jnp.float32),
+         tprev.astype(jnp.float32)], axis=0)
+    hml = split3(stack5)  # 3 x (5, n_pad) bf16
+    vals15 = jnp.stack(hml, axis=1).reshape(_ROWS, n_pad)
+    row_in = lambda b: (0, b)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, t_k=t_k),
+        grid=(nt_in,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, t_in), row_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, t_k), row_in,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, nt_in * t_k),
+                                       jnp.bfloat16),
+        interpret=interpret,
+    )(vals15, g_row, f_row)
+
+
+def inert_tail(n: int, w_b: int, wb2: int):
+    """``(15, w_b*wb2)`` bf16 tail blocks with empty interval [n, n) and
+    zero values: the safe target for padded skip-table entries and
+    clamped windows."""
+    nh, nm, nl = split3(jnp.float32(n))
+    tail = jnp.zeros((_ROWS, w_b * wb2), jnp.bfloat16)
+    for r, v in ((9, nh), (10, nm), (11, nl), (12, nh), (13, nm),
+                 (14, nl)):
+        tail = tail.at[r].set(v)
+    return tail
+
+
+def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
+               valid):
+    """Build the compressed window-block table + per-output-tile runs.
+
+    Window-block occupancy follows from the per-tile survivor counts:
+    tile j's survivors fill its t_k block front-to-back, so window w of
+    tile j holds ``clip(cnt_j - w*wb2, 0, wb2)`` survivors.  Empty
+    blocks are compressed away; every compacted lane self-describes its
+    slot interval, so skipping needs no boundary bookkeeping.
+
+    Args:
+        cnt: ``(nt_in_total,)`` per-input-tile survivor counts, in the
+            same tile order as ``tc15``'s blocks.
+        tc15: compacted stack WITH the inert tail appended.
+        i0 / i_last: per-output-tile first / last global slot indices.
+        valid: per-output-tile bool - False for all-padding tiles
+            (their ``need`` is forced to 1).
+
+    Returns:
+        ``(sb, span, need, blk_ids)``: per-tile start index into
+        ``blk_ids``, clipped span, unclipped need (for the fallback
+        predicate), and the compressed block-id table.
+    """
+    nt_in = cnt.shape[0]
+    nw = t_k // wb2
+    n_comp_max = nt_in * nw  # total compacted window blocks
+    n_blk = n_comp_max + w_b  # + padded entries -> first tail block
+    occ_ne = (cnt[:, None]
+              > jnp.arange(nw, dtype=cnt.dtype)[None, :] * wb2)
+    nonempty = occ_ne.reshape(-1).astype(jnp.int32)  # ordered (j, w)
+    pos = jnp.cumsum(nonempty) - nonempty  # exclusive rank
+    tgt = jnp.where(nonempty > 0, pos, n_blk)  # drop empties
+    blk_ids = jnp.full((n_blk,), n_comp_max, jnp.int32).at[tgt].set(
+        jnp.arange(n_comp_max, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    # Block-end boundaries of the compressed blocks (exact ints in f32;
+    # padded entries land in the tail, keeping the row non-decreasing).
+    tc_hi = (tc15[9].astype(jnp.float32) + tc15[10].astype(jnp.float32)
+             + tc15[11].astype(jnp.float32))
+    tb_last = tc_hi[(blk_ids + 1) * wb2 - 1]  # (n_blk,)
+    sb_raw = jnp.searchsorted(tb_last, i0.astype(jnp.float32),
+                              side="right").astype(jnp.int32)
+    le = jnp.searchsorted(tb_last, i_last.astype(jnp.float32),
+                          side="right").astype(jnp.int32)
+    sb = jnp.clip(sb_raw, 0, n_blk - w_b)
+    span = jnp.clip(le - sb + 1, 1, w_b)
+    need = jnp.where(valid, le - sb_raw + 1, 1)
+    return sb, span, need, blk_ids
+
+
+def expand_compacted(tc15, sb, span, blk_ids, i0, n_out_pad: int,
+                     t_out: int, wb2: int, w_b: int,
+                     interpret: bool = False):
+    """Pass-2 call: expand the compacted stack into ``(3, n_out_pad)``
+    f32 output slots, tile b covering ``[i0[b], i0[b] + t_out)`` in
+    global slot space (slots outside every lane's interval stay 0)."""
+    nt_out = n_out_pad // t_out
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, t_out=t_out, wb2=wb2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nt_out, w_b),
+            in_specs=[pl.BlockSpec(
+                (_ROWS, wb2),
+                lambda b, w, sb, span, blk, i0: (0, blk[sb[b] + w]),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (3, t_out), lambda b, w, sb, span, blk, i0: (0, b),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, n_out_pad), jnp.float32),
+        interpret=interpret,
+    )(sb, span, blk_ids, i0, tc15)
 
 
 def _pick_tile(n_pad: int, want: int) -> int:
@@ -279,95 +397,22 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
         idx = decode_indices(t_row, n)
         return jnp.zeros_like(p_rows).at[:, :n].set(p_rows[:, :n][:, idx])
 
-    # ---- pass 1, unconditional (cheap vs the gather it replaces; its
-    # output is discarded on fallback).  15 bf16 rows, variable-major:
-    # [x y yaw t_hi t_lo] x [hi mid lo].
-    stack5 = jnp.concatenate(
-        [p_rows.astype(jnp.float32), t_row.astype(jnp.float32),
-         tprev.astype(jnp.float32)], axis=0)
-    hml = split3(stack5)  # 3 x (5, n_pad) bf16
-    vals15 = jnp.stack(hml, axis=1).reshape(_ROWS, n_pad)
-    row_in = lambda b: (0, b)  # noqa: E731
-    bc = pl.pallas_call(
-        functools.partial(_compact_kernel, t_k=t_k),
-        grid=(nt_in,),
-        in_specs=[
-            pl.BlockSpec((_ROWS, t_in), row_in,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_in), row_in, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_ROWS, t_k), row_in,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((_ROWS, nt_in * t_k),
-                                       jnp.bfloat16),
-        interpret=interpret,
-    )(vals15, g_row, f_row)
+    # Pass 1 runs unconditionally (cheap vs the gather it replaces; its
+    # output is discarded on fallback).
+    bc = compact_particles(p_rows, t_row, tprev, f_row, g_row, t_in,
+                           t_k, interpret)
+    tc15 = jnp.concatenate([bc, inert_tail(n, w_b, wb2)], axis=1)
 
-    # w_b inert trailing blocks (empty interval [n, n), values 0): the
-    # safe target for padded skip-table entries and clamped windows.
-    nh, nm, nl = split3(jnp.float32(n))
-    tail = jnp.zeros((_ROWS, w_b * wb2), jnp.bfloat16)
-    for r, v in ((9, nh), (10, nm), (11, nl), (12, nh), (13, nm),
-                 (14, nl)):
-        tail = tail.at[r].set(v)
-    tc15 = jnp.concatenate([bc, tail], axis=1)
-
-    # ---- skip table (small XLA ops only).  Window-block occupancy
-    # follows from the per-tile survivor counts: tile j's survivors
-    # fill its t_k block front-to-back, so window w of tile j holds
-    # clip(cnt_j - w*wb2, 0, wb2) survivors.  Compress away empty
-    # blocks; every lane self-describes its slot interval, so skipping
-    # needs no boundary bookkeeping.
-    nw = t_k // wb2
-    n_comp_max = nt_in * nw  # total bc window blocks
-    n_blk = n_comp_max + w_b  # + padded entries -> first tail block
-    occ_ne = (cnt[:, None]
-              > jnp.arange(nw, dtype=cnt.dtype)[None, :] * wb2)
-    nonempty = occ_ne.reshape(-1).astype(jnp.int32)  # ordered (j, w)
-    pos = jnp.cumsum(nonempty) - nonempty  # exclusive rank
-    tgt = jnp.where(nonempty > 0, pos, n_blk)  # drop empties
-    blk_ids = jnp.full((n_blk,), n_comp_max, jnp.int32).at[tgt].set(
-        jnp.arange(n_comp_max, dtype=jnp.int32), mode="drop",
-        unique_indices=True)
-    # Block-end boundaries of the compressed blocks (exact ints in f32;
-    # padded entries land in the tail -> boundary n, keeping the row
-    # non-decreasing).
-    tc_hi = (tc15[9].astype(jnp.float32) + tc15[10].astype(jnp.float32)
-             + tc15[11].astype(jnp.float32))
-    tb_last = tc_hi[(blk_ids + 1) * wb2 - 1]  # (n_blk,)
-
-    # Per-output-tile feeder runs: searchsorted over the compressed
-    # block-end boundaries (~nt_in entries, a few hundred queries).
     nt_out = n_pad // t_out
     i0 = jnp.arange(nt_out, dtype=jnp.int32) * t_out
     i_last = jnp.minimum(i0 + t_out, n) - 1
-    sb_raw = jnp.searchsorted(tb_last, i0.astype(jnp.float32),
-                              side="right").astype(jnp.int32)
-    le = jnp.searchsorted(tb_last, i_last.astype(jnp.float32),
-                          side="right").astype(jnp.int32)
-    sb = jnp.clip(sb_raw, 0, n_blk - w_b)
-    span = jnp.clip(le - sb + 1, 1, w_b)
-    need = jnp.where(i0 < n, le - sb_raw + 1, 1)
+    sb, span, need, blk_ids = skip_table(cnt, tc15, t_k, wb2, w_b, i0,
+                                         i_last, i0 < n)
     ok_window = jnp.max(need) <= w_b
 
     def expand(_):
-        out = pl.pallas_call(
-            functools.partial(_expand_kernel, t_out=t_out, wb2=wb2),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(nt_out, w_b),
-                in_specs=[pl.BlockSpec(
-                    (_ROWS, wb2),
-                    lambda b, w, sb, span, blk: (0, blk[sb[b] + w]),
-                    memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(
-                    (3, t_out), lambda b, w, sb, span, blk: (0, b),
-                    memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            interpret=interpret,
-        )(sb, span, blk_ids, tc15)
+        out = expand_compacted(tc15, sb, span, blk_ids, i0, n_pad,
+                               t_out, wb2, w_b, interpret)
         return out.astype(p_rows.dtype)
 
     return jax.lax.cond(ok_compact & ok_window, expand, xla_path, 0)

@@ -108,9 +108,22 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
     local shard in one pass; the per-device ``(lse, lse2)`` reductions
     combine into global normalizers with two scalar pmax+psum rounds
     (online logsumexp across devices); the MAP estimate is an argmax over
-    the per-device kernel candidates; the ESS-gated systematic resample
-    all-gathers the valid lanes so the global comb (reference semantics)
-    stays exact, each device keeping its slice.
+    the per-device kernel candidates.  The ESS-gated systematic resample
+    is globally exact and comes in two flavors:
+
+    * ``resample_method="merge"`` (production): SURVIVOR EXCHANGE.
+      Weights are all-gathered (4 B/particle) for the bit-exact global
+      slot-boundary tensor; each device then compacts its OWN particle
+      slab with the pass-1 merge kernel
+      (:mod:`tpuslam.ops.resample_pallas`) and only the compacted
+      survivor blocks are all-gathered (bf16, ~2 B/particle at the
+      production t_k/t_in=1/4 dilution vs 12 B/particle for raw
+      particles), after which every device expands just its slot range
+      with the pass-2 kernel.  Falls back to the gather-everything path
+      (replicated psum'd predicate, same branch on all devices) if the
+      static caps overflow.
+    * anything else: all-gather weights AND particles, XLA decode +
+      gather (the reference-shaped path).
 
     Only ``estimate="map"`` is supported (the kernel computes it).
 
@@ -153,7 +166,8 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
                         jnp.exp(2.0 * lse - lse2))
         do_rs = ess < n_total * cfg.ess_threshold_frac
 
-        def rs(p, lw):
+        def rs_gather(args):
+            p, lw = args
             # Gather only the VALID lanes (padding is per-device).
             all_lw = jax.lax.all_gather(lw[:, :n_local], PARTICLE_AXIS,
                                         axis=1, tiled=True)[0]
@@ -167,6 +181,71 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             lw2 = jnp.full_like(lw, -jnp.inf).at[:, :n_local].set(0.0)
             return p2, lw2
 
+        def rs_merge(p, lw):
+            # Survivor exchange (see function docstring).  Selection is
+            # bit-identical to the gather path: the boundary tensor is
+            # built from the globally-gathered weight row exactly as a
+            # single device would.
+            from tpuslam.ops import resample_pallas as rp
+
+            t_in = rp._pick_tile(n_local, 1024)
+            t_k = min(256, t_in)
+            t_out = rp._pick_tile(n_local, 2048)
+            w_b = 12
+            wb2 = min(128, t_k)
+            while t_k % wb2:
+                wb2 //= 2
+
+            all_lw = jax.lax.all_gather(lw[:, :n_local], PARTICLE_AXIS,
+                                        axis=1, tiled=True)[0][None]
+            w_all = jnp.exp(all_lw - lse)  # (1, n_total)
+            offs = jax.random.uniform(k_rs, dtype=jnp.float32)
+            t_row = rp.slot_boundaries(w_all, n_total, offs)
+            tprev = jnp.concatenate(
+                [jnp.zeros((1, 1), jnp.int32), t_row[:, :-1]], axis=-1)
+            f_row = (t_row > tprev).astype(jnp.int32)
+            g_row = jnp.cumsum(f_row, axis=-1) - f_row
+            cnt = f_row[0].reshape(n_total // t_in, t_in).sum(axis=-1)
+            ok_compact = jnp.max(cnt) <= t_k
+
+            sl = my * n_local
+            t_s = jax.lax.dynamic_slice_in_dim(t_row, sl, n_local, 1)
+            tp_s = jax.lax.dynamic_slice_in_dim(tprev, sl, n_local, 1)
+            f_s = jax.lax.dynamic_slice_in_dim(f_row, sl, n_local, 1)
+            g_s = jax.lax.dynamic_slice_in_dim(g_row, sl, n_local, 1)
+            bc = rp.compact_particles(p[:, :n_local], t_s, tp_s, f_s,
+                                      g_s, t_in, t_k, interpret)
+            bc_all = jax.lax.all_gather(bc, PARTICLE_AXIS, axis=1,
+                                        tiled=True)
+            tc15 = jnp.concatenate(
+                [bc_all, rp.inert_tail(n_total, w_b, wb2)], axis=1)
+
+            n_local_pad = p.shape[1]
+            nt_out = n_local_pad // t_out if n_local_pad % t_out == 0 \
+                else n_local // t_out
+            i0_t = jnp.arange(nt_out, dtype=jnp.int32) * t_out
+            i0 = jnp.where(i0_t < n_local, sl + i0_t, n_total)
+            i_last = jnp.minimum(i0 + t_out, n_total) - 1
+            sb, span, need, blk_ids = rp.skip_table(
+                cnt, tc15, t_k, wb2, w_b, i0, i_last, i0 < n_total)
+            bad = (~ok_compact) | (jnp.max(need) > w_b)
+            bad_any = jax.lax.psum(
+                bad.astype(jnp.float32), PARTICLE_AXIS) > 0
+
+            def merge_path(args):
+                p, lw = args
+                out = rp.expand_compacted(tc15, sb, span, blk_ids, i0,
+                                          nt_out * t_out, t_out, wb2,
+                                          w_b, interpret)
+                p2 = jnp.zeros_like(p).at[:, :nt_out * t_out].set(
+                    out.astype(p.dtype))
+                lw2 = jnp.full_like(lw, -jnp.inf).at[:, :n_local].set(0.0)
+                return p2, lw2
+
+            return jax.lax.cond(bad_any, rs_gather, merge_path, (p, lw))
+
+        rs = (rs_merge if cfg.resample_method == "merge"
+              else lambda p, lw: rs_gather((p, lw)))
         p_rows, lw_rows = jax.lax.cond(
             do_rs, rs, lambda p, lw: (p, lw), p_rows, lw_rows)
         flag = jnp.where(bad & ~do_rs, 1.0, 0.0)
