@@ -93,6 +93,24 @@ def bench_pf_pallas(particles=100_000, steps=100, resample="merge"):
     return particles * steps / dt
 
 
+def bench_pf_batch(batch=1024, particles=1000, steps=100):
+    """B independent reference-scale filters, one per kernel tile
+    (in-tile resample; ops/pf_batch_pallas.py)."""
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_batch_rollout
+
+    cfg = PfConfig(num_particles=particles, weight_mode="log")
+
+    @jax.jit
+    def fn(k):
+        final, outs = pf_batch_rollout(cfg, k, batch=batch,
+                                       n_steps=steps)
+        return jnp.sum(final.particles) + jnp.sum(outs.x_est)
+
+    dt = _time_scalar(fn, jax.random.key(0), reps=3)
+    return batch * particles * steps / dt
+
+
 def bench_graph(n_steps=18):
     """The reference demo course itself: 18 frames, per-frame GN
     re-estimation of the whole trajectory (graph_based_slam.py runs this
@@ -190,6 +208,12 @@ def main():
               f"particle-steps/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# PF pallas 1M bench failed: {e}", file=sys.stderr)
+    try:
+        pf_rate = bench_pf_batch()
+        print(f"# PF (batched fused, 1024x1000): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# PF batch bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf()
         print(f"# PF (xla scan): {pf_rate:.3e} particle-steps/s/chip",

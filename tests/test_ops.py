@@ -370,3 +370,139 @@ class TestMergeResampleKernel:
                                       np.asarray(outs[1].particles))
         np.testing.assert_array_equal(np.asarray(outs[0].log_w),
                                       np.asarray(outs[1].log_w))
+
+
+class TestPfBatchKernel:
+    """Batched fused PF: one filter per tile, in-tile systematic
+    resample via lower-triangular one-hot matmuls
+    (ops/pf_batch_pallas.py)."""
+
+    def test_no_fire_matches_pf_step(self):
+        """Noise-free step with a healthy cloud (gate closed): each
+        filter must match the XLA pf_step log path on the same inputs."""
+        from tpuslam.filters.pf import PfConfig, PfState, pf_step
+        from tpuslam.ops import pf_batch_init, pf_batch_step
+
+        n, b = 100, 4
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       ess_threshold_frac=1e-6)  # gate never fires
+        rng = np.random.default_rng(0)
+        parts = rng.normal(size=(n, 3)).astype(np.float32) \
+            + np.array([10.0, 0.0, np.pi / 2], np.float32)
+        w = np.full((n,), 1.0 / n, np.float32)
+
+        st = pf_batch_init(cfg, b)
+        P = st.particles.shape[1] // b
+        p_rows = np.zeros((3, b * P), np.float32)
+        lw_rows = np.full((1, b * P), -np.inf, np.float32)
+        for f in range(b):
+            p_rows[:, f * P:f * P + n] = parts.T
+            lw_rows[0, f * P:f * P + n] = np.log(w)
+        st = st._replace(particles=jnp.asarray(p_rows),
+                         log_w=jnp.asarray(lw_rows))
+        key = jax.random.key(5)
+        st2, out = pf_batch_step(cfg, st, key, 0, noise_on=False,
+                                 interpret=True)
+
+        # Oracle: pf_step with the same observation (reconstruct z from
+        # the same key; batch draws (b, L, 2) noise in one call).
+        from tpuslam.core.se2 import world_to_robot
+        from tpuslam.models.process import circular_step
+        x_true = circular_step(jnp.asarray(cfg.x0), cfg.vel,
+                               cfg.yaw_rate, cfg.dt)
+        lm = jnp.asarray(cfg.landmarks, jnp.float32)
+        z0 = world_to_robot(x_true, lm)
+        noise = jax.random.normal(key, (b,) + z0.shape, jnp.float32)
+        zs = z0[None] + noise * jnp.asarray(cfg.r_std, jnp.float32)
+
+        from tpuslam.filters.pf import pf_likelihood
+        pred = circular_step(jnp.asarray(parts), cfg.vel, cfg.yaw_rate,
+                             cfg.dt)
+        for f in range(b):
+            like = pf_likelihood(cfg, pred, zs[f])
+            lw_ref = np.log(w) + np.asarray(like)
+            got = np.asarray(st2.log_w[0, f * P:f * P + n])
+            # Landmark-term accumulation order differs: lsb-level noise
+            # at |lw| ~ 1e3 (same caveat as TestPfFusedKernel).
+            np.testing.assert_allclose(got, lw_ref, rtol=1e-5,
+                                       atol=5e-3)
+            # particles unchanged by a noise-free no-fire predict except
+            # the deterministic circular step
+            p_ref = np.asarray(pred)
+            got_p = np.asarray(st2.particles[:, f * P:f * P + n]).T
+            np.testing.assert_allclose(
+                got_p[:, :2], p_ref[:, :2], atol=2e-4)
+            # MAP = argmax lane
+            i_best = int(np.argmax(got))
+            np.testing.assert_allclose(np.asarray(out.x_est[f]),
+                                       got_p[i_best], atol=1e-5)
+
+    def test_in_tile_resample_exact_selection(self):
+        """Weights that are exact binary fractions make the cumsum
+        order-independent, so the in-tile boundaries must reproduce the
+        XLA hist selection exactly (offs pinned to 0.5 via
+        noise_on=False)."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_init, pf_batch_step
+
+        n, b = 128, 2
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       ess_threshold_frac=2.0)  # always fire
+        rng = np.random.default_rng(1)
+        parts = rng.normal(size=(n, 3)).astype(np.float32)
+        # 8 heavy particles with weight 1/8 each (exact in any order).
+        w = np.zeros((n,), np.float64)
+        heavy = [3, 17, 40, 41, 77, 90, 100, 127]
+        for h in heavy:
+            w[h] = 1.0 / 8.0
+        st = pf_batch_init(cfg, b)
+        P = st.particles.shape[1] // b
+        p_rows = np.zeros((3, b * P), np.float32)
+        lw_rows = np.full((1, b * P), -np.inf, np.float32)
+        lw = np.full((n,), -np.inf)
+        lw[heavy] = np.log(1.0 / 8.0)
+        for f in range(b):
+            p_rows[:, f * P:f * P + n] = parts.T
+            lw_rows[0, f * P:f * P + n] = lw
+        st = st._replace(particles=jnp.asarray(p_rows),
+                         log_w=jnp.asarray(lw_rows))
+        st2, out = pf_batch_step(cfg, st, jax.random.key(2), 0,
+                                 noise_on=False, interpret=True)
+        assert bool(out.resampled.all())
+
+        # Oracle selection: t = ceil(n*cum - 0.5), slots [t_prev, t).
+        cum = np.cumsum(w)
+        t = np.clip(np.ceil(n * cum - 0.5), 0, n).astype(int)
+        t[-1] = n
+        idx = np.searchsorted(t, np.arange(n), side="right")
+        expect = parts[idx]  # (n, 3) resampled, then circular step
+        from tpuslam.models.process import circular_step
+        expect = np.asarray(circular_step(
+            jnp.asarray(expect), cfg.vel, cfg.yaw_rate, cfg.dt))
+        for f in range(b):
+            got = np.asarray(st2.particles[:, f * P:f * P + n]).T
+            np.testing.assert_allclose(got[:, :2], expect[:, :2],
+                                       atol=1e-5)
+            # resampled weights are uniform then + loglik: all finite
+            assert np.isfinite(
+                np.asarray(st2.log_w[0, f * P:f * P + n])).all()
+
+    def test_rollout_tracks_truth(self):
+        """60-step batched rollout (noise-free kernel - pltpu.prng has
+        no CPU interpret lowering; the noisy path is validated on the
+        real chip by scripts/tpu_pf_batch.py): every filter rides the
+        deterministic orbit exactly."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_rollout
+
+        cfg = PfConfig(num_particles=128, weight_mode="log")
+        final, outs = pf_batch_rollout(cfg, jax.random.key(3), batch=4,
+                                       n_steps=60, noise_on=False,
+                                       interpret=True)
+        x_est = np.asarray(outs.x_est)  # (T, B, 3)
+        x_true = np.asarray(outs.x_true)  # (T, 3)
+        err = x_est[:, :, :2] - x_true[:, None, :2]
+        rmse = np.sqrt((err ** 2).sum(-1).mean())
+        assert rmse < 0.5, rmse
+        assert not np.asarray(outs.bad).any()
+        assert np.isfinite(np.asarray(outs.ess)).all()

@@ -69,11 +69,18 @@ def _normals(shape, count):
     return out[:count]
 
 
-def _predict_loglik(cfg: PfConfig, z_ref, x, y, yaw, noise_on: bool):
+def _predict_loglik(cfg: PfConfig, z_ref, x, y, yaw, noise_on: bool,
+                    z_get=None):
     """Shared kernel math: circular predict + landmark log-likelihood.
 
     Returns ``(x', y', yaw', loglik)`` rows (all ``(1, tile)``).
+
+    ``z_get(li, c)`` reads the scalar observation component ``c`` of
+    landmark ``li`` (default: ``z_ref[li, c]``, the single-filter (L, 2)
+    layout; the batched kernel passes a row accessor).
     """
+    if z_get is None:
+        z_get = lambda li, c: z_ref[li, c]  # noqa: E731
     lane = x.shape
     if noise_on:
         n = _normals(lane, 4)
@@ -103,8 +110,8 @@ def _predict_loglik(cfg: PfConfig, z_ref, x, y, yaw, noise_on: bool):
         dy = lm_y - y
         px_l = c * dx - s * dy
         py_l = s * dx + c * dy
-        ddx = (px_l - z_ref[li, 0]) / sx
-        ddy = (py_l - z_ref[li, 1]) / sy
+        ddx = (px_l - z_get(li, 0)) / sx
+        ddy = (py_l - z_get(li, 1)) / sy
         acc = acc - 0.5 * (ddx * ddx + ddy * ddy) - log_norm
     return x, y, yaw, acc
 
