@@ -506,3 +506,29 @@ class TestPfBatchKernel:
         assert rmse < 0.5, rmse
         assert not np.asarray(outs.bad).any()
         assert np.isfinite(np.asarray(outs.ess)).all()
+
+
+class TestFastmath:
+    """Polynomial sincos used by the kernels' Box-Muller noise
+    (ops/fastmath.py); accuracy must be ~f32-ulp over the full turn."""
+
+    def test_sincos_turns_accuracy(self):
+        from tpuslam.ops.fastmath import sincos_turns
+
+        u = jnp.asarray(np.linspace(0.0, 1.0, 100001)[:-1], jnp.float32)
+        c, s = sincos_turns(u)
+        ref_c = np.cos(2 * np.pi * np.asarray(u, np.float64))
+        ref_s = np.sin(2 * np.pi * np.asarray(u, np.float64))
+        assert np.max(np.abs(np.asarray(c) - ref_c)) < 5e-7
+        assert np.max(np.abs(np.asarray(s) - ref_s)) < 5e-7
+
+    def test_sincos_rad_any_angle(self):
+        from tpuslam.ops.fastmath import sincos_rad
+
+        th = jnp.asarray(np.linspace(-20.0, 20.0, 40001), jnp.float32)
+        c, s = sincos_rad(th)
+        ref_c = np.cos(np.asarray(th, np.float64))
+        ref_s = np.sin(np.asarray(th, np.float64))
+        # Argument folding in f32 loses a few ulps at |theta| ~ 20.
+        assert np.max(np.abs(np.asarray(c) - ref_c)) < 5e-6
+        assert np.max(np.abs(np.asarray(s) - ref_s)) < 5e-6

@@ -50,25 +50,7 @@ def _wrap(a):
     return jnp.where(a < 0, -w, w)
 
 
-def _normals(shape, count):
-    """``count`` independent standard-normal rows via Box-Muller.
-
-    Returns a list of ``count`` arrays of ``shape`` (pairs share draws).
-    """
-    out = []
-    for _ in range((count + 1) // 2):
-        b1 = pltpu.prng_random_bits(shape)
-        b2 = pltpu.prng_random_bits(shape)
-        # 24 high bits -> (0, 1); +0.5 ulp keeps u1 strictly positive.
-        u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32)
-              + 0.5) * (1.0 / (1 << 24))
-        u2 = jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) * (
-            1.0 / (1 << 24))
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        ang = _TWO_PI * u2
-        out.append(r * jnp.cos(ang))
-        out.append(r * jnp.sin(ang))
-    return out[:count]
+from tpuslam.ops.fastmath import normals as _normals  # noqa: E402
 
 
 def _ekf_kernel(seed_ref, state_in_ref, cov_in_ref, state_ref, cov_ref,

@@ -53,20 +53,7 @@ def _wrap(a):
     return jnp.where(a < 0, -w, w)
 
 
-def _normals(shape, count):
-    out = []
-    for _ in range((count + 1) // 2):
-        b1 = pltpu.prng_random_bits(shape)
-        b2 = pltpu.prng_random_bits(shape)
-        u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32)
-              + 0.5) * (1.0 / (1 << 24))
-        u2 = jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) * (
-            1.0 / (1 << 24))
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        ang = _TWO_PI * u2
-        out.append(r * jnp.cos(ang))
-        out.append(r * jnp.sin(ang))
-    return out[:count]
+from tpuslam.ops.fastmath import normals as _normals  # noqa: E402
 
 
 def _predict_loglik(cfg: PfConfig, z_ref, x, y, yaw, noise_on: bool,
