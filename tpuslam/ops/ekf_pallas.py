@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuslam.filters.ekf import EkfConfig, EkfState
+from tpuslam.ops.fastmath import sincos_rad
 
 _TWO_PI = 2.0 * math.pi
 
@@ -53,8 +54,9 @@ def _wrap(a):
 from tpuslam.ops.fastmath import normals as _normals  # noqa: E402
 
 
-def _ekf_kernel(seed_ref, state_in_ref, cov_in_ref, state_ref, cov_ref,
-                err_ref, *, cfg: EkfConfig, n_steps: int, noise_on: bool):
+def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
+                cov_ref, err_ref, *, cfg: EkfConfig, n_steps: int,
+                noise_on: bool):
     if noise_on:
         # (TPU-only primitive; the noise-free path must stay liftable to
         # CPU interpret mode for the exactness test.)
@@ -67,13 +69,12 @@ def _ekf_kernel(seed_ref, state_in_ref, cov_in_ref, state_ref, cov_ref,
     r0sq, r1sq = (s * s for s in cfg.r_std)
     qa0, qa1, qa2 = cfg.q_act_std
     ra0, ra1 = cfg.r_act_std
-    base = math.pi / 2.0
 
     # Rows are kept 2-D (1, tile_b): TPU vector ops want >= 2 dims.
     lane_shape = (1, state_ref.shape[1])
 
-    def step(_, carry):
-        (xt0, xt1, xt2, xd0, xd1, xd2, xh0, xh1, xh2,
+    def step(i, carry):
+        (xd0, xd1, xd2, xh0, xh1, xh2,
          p00, p01, p02, p10, p11, p12, p20, p21, p22, acc) = carry
 
         if noise_on:
@@ -81,32 +82,42 @@ def _ekf_kernel(seed_ref, state_in_ref, cov_in_ref, state_ref, cov_ref,
         else:
             n = [jnp.zeros(lane_shape, jnp.float32)] * 6
 
-        # --- ground truth propagate (extended_kalman_filter.py:97) ------
-        c_t = jnp.cos(xt2)
-        s_t = jnp.sin(xt2)
-        xt0 = xt0 + v * dt * c_t
-        xt1 = xt1 + v * dt * s_t
-        xt2 = _wrap(xt2 + w * dt)
+        # --- ground truth (extended_kalman_filter.py:97): deterministic
+        # and identical on every lane, so it is PRECOMPUTED in XLA
+        # (tbl = [xt0, xt1, xt2, cos(xt2), sin(xt2)] per step) and read
+        # as per-step scalars instead of burning vector trig.
+        xt0 = tbl_ref[i, 0]
+        xt1 = tbl_ref[i, 1]
+        c_t = tbl_ref[i, 3]
+        s_t = tbl_ref[i, 4]
 
-        # --- observation: robot-frame noise rotated to world (:100-101) --
+        # --- observation: robot-frame noise rotated to world (:100-101).
+        # The rotation angle is xt2 - pi/2, so cos = sin(xt2) and
+        # sin = -cos(xt2): the pair is free given the table.
         wx = n[0] * ra0
         wy = n[1] * ra1
-        ang = xt2 - base
-        c_a = jnp.cos(ang)
-        s_a = jnp.sin(ang)
-        z0 = c_a * wx - s_a * wy + xt0
-        z1 = s_a * wx + c_a * wy + xt1
+        z0 = s_t * wx + c_t * wy + xt0
+        z1 = -c_t * wx + s_t * wy + xt1
 
-        # --- dead reckoning (:104-106) -----------------------------------
-        c_d = jnp.cos(xd2)
-        s_d = jnp.sin(xd2)
+        # --- dead reckoning (:104-106): display-only data (never feeds
+        # the filter), so polynomial trig is fine here ------------------
+        if noise_on:
+            c_d, s_d = sincos_rad(xd2)
+        else:  # bit-parity with the XLA scan oracle in the exact test
+            c_d = jnp.cos(xd2)
+            s_d = jnp.sin(xd2)
         xd0 = xd0 + v * dt * c_d + n[2] * qa0
         xd1 = xd1 + v * dt * s_d + n[3] * qa1
         xd2 = _wrap(xd2 + w * dt + n[4] * qa2)
 
-        # --- predict (:109-115) ------------------------------------------
-        c_h = jnp.cos(xh2)
-        s_h = jnp.sin(xh2)
+        # --- predict (:109-115): poly trig in noisy mode (~2e-7 step
+        # error, 5 orders under the noise floor; builtin in the
+        # noise-free mode for bit-parity with the XLA oracle) ----------
+        if noise_on:
+            c_h, s_h = sincos_rad(xh2)
+        else:
+            c_h = jnp.cos(xh2)
+            s_h = jnp.sin(xh2)
         xp0 = xh0 + v * dt * c_h
         xp1 = xh1 + v * dt * s_h
         xp2 = _wrap(xh2 + w * dt)
@@ -168,21 +179,25 @@ def _ekf_kernel(seed_ref, state_in_ref, cov_in_ref, state_ref, cov_ref,
         d1 = xh1 - xt1
         acc = acc + d0 * d0 + d1 * d1
 
-        return (xt0, xt1, xt2, xd0, xd1, xd2, xh0, xh1, xh2,
+        return (xd0, xd1, xd2, xh0, xh1, xh2,
                 n00, n01, n02, n10, n11, n12, n20, n21, n22, acc)
 
     # Initial state/covariance from the memory-backed input tiles (splat
     # constants in the loop carry trip Mosaic relayout checks).
-    init = tuple(state_in_ref[i:i + 1, :] for i in range(9)) + tuple(
+    init = tuple(state_in_ref[i:i + 1, :] for i in range(3, 9)) + tuple(
         cov_in_ref[i:i + 1, :] for i in range(9)) + (
             state_in_ref[0:1, :] * 0.0,)
     out = jax.lax.fori_loop(0, n_steps, step, init)
 
+    zero_row = state_in_ref[0:1, :] * 0.0
+    last = n_steps - 1
+    for i in range(3):  # final truth, broadcast from the table
+        state_ref[i:i + 1, :] = zero_row + tbl_ref[last, i]
+    for i in range(6):
+        state_ref[i + 3:i + 4, :] = out[i]
     for i in range(9):
-        state_ref[i:i + 1, :] = out[i]
-    for i in range(9):
-        cov_ref[i:i + 1, :] = out[9 + i]
-    err_ref[0:1, :] = out[18]
+        cov_ref[i:i + 1, :] = out[6 + i]
+    err_ref[0:1, :] = out[15]
 
 
 @functools.partial(jax.jit,
@@ -217,6 +232,22 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
     p0 = jnp.diag(jnp.square(jnp.asarray(cfg.p0_std, jnp.float32)))
     cov0 = jnp.tile(p0.reshape(9, 1), (1, batch))
 
+    # Truth table (deterministic, lane-invariant): per-step scalars
+    # [xt0, xt1, xt2, cos(xt2), sin(xt2)], computed with the same jnp
+    # ops as the XLA scan oracle so noise-free parity stays exact.
+    v, w, dt = cfg.vel, cfg.yaw_rate, cfg.dt
+
+    def _truth(carry, _):
+        t0, t1, t2 = carry
+        t0 = t0 + v * dt * jnp.cos(t2)
+        t1 = t1 + v * dt * jnp.sin(t2)
+        t2 = _wrap(t2 + w * dt)
+        return (t0, t1, t2), jnp.stack(
+            [t0, t1, t2, jnp.cos(t2), jnp.sin(t2)])
+
+    _, tbl = jax.lax.scan(_truth, (x0[0], x0[1], x0[2]), None,
+                          length=n_steps)  # (n_steps, 5)
+
     kernel = functools.partial(_ekf_kernel, cfg=cfg, n_steps=n_steps,
                                noise_on=noise_on)
     row_spec = pl.BlockSpec((9, tile_b), lambda i: (0, i),
@@ -225,6 +256,7 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
         kernel,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             row_spec,
             row_spec,
@@ -241,7 +273,7 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), state0, cov0)
+    )(jnp.asarray([seed], jnp.int32), tbl, state0, cov0)
 
     final = EkfState(
         x_true=state[0:3].T, x_dr=state[3:6].T, x_hat=state[6:9].T,

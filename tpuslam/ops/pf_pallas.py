@@ -75,21 +75,37 @@ def _predict_loglik(cfg: PfConfig, z_ref, x, y, yaw, noise_on: bool,
         n = [jnp.zeros(lane, jnp.float32)] * 4
 
     # Predict (particle_filter.py:156-168): circular step + Q noise.
+    # In the (production) noisy mode, state trig uses the polynomial
+    # sincos (ops/fastmath.py; Mosaic builtin trig is ~40x an FMA) -
+    # the ~2e-7 step error is 5 orders below the per-step Q noise.  The
+    # noise-free mode keeps builtin trig for bit-parity with the XLA
+    # oracle tests.
     v, w, dt = cfg.vel, cfg.yaw_rate, cfg.dt
     q0, q1, q2 = cfg.q_std
-    x = x + v * dt * jnp.cos(yaw) + n[0] * q0
-    y = y + v * dt * jnp.sin(yaw) + n[1] * q1
+    if noise_on:
+        from tpuslam.ops.fastmath import sincos_rad
+        c_o, s_o = sincos_rad(yaw)
+    else:
+        c_o, s_o = jnp.cos(yaw), jnp.sin(yaw)
+    x = x + v * dt * c_o + n[0] * q0
+    y = y + v * dt * s_o + n[1] * q1
     # Reference adds the yaw noise AFTER the wrapped step with no second
     # wrap (particle_filter.py:166); match the XLA path exactly.
     yaw = _wrap(yaw + w * dt) + n[2] * q2
 
     # Log-likelihood over landmarks (particle_filter.py:170-198), with
     # world_to_robot inlined (BASE_ANG convention, mylib/transform.py).
+    # The frame angle is BASE - yaw = pi/2 - yaw, so its (cos, sin) are
+    # (sin(yaw), cos(yaw)) - one sincos pair covers it.
     sx, sy = cfg.r_std
-    base = math.pi / 2.0
-    ang = base - yaw
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
+    if noise_on:
+        c_n, s_n = sincos_rad(yaw)
+        c, s = s_n, c_n
+    else:
+        base = math.pi / 2.0
+        ang = base - yaw
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
     log_norm = math.log(_TWO_PI * sx * sy)
     acc = jnp.zeros(lane, jnp.float32)
     for li, (lm_x, lm_y) in enumerate(cfg.landmarks):
