@@ -55,7 +55,7 @@ def pf_sweep():
     rows = []
     for n in (10_000, 100_000, 1_000_000):
         cfg = PfConfig(num_particles=n, weight_mode="log",
-                       resample_method="hist")
+                       resample_method="merge")
 
         @jax.jit
         def fn(k):
@@ -66,6 +66,25 @@ def pf_sweep():
         rate = n * 100 / dt
         rows.append((n, rate))
         log(f"PF fused NP={n}: {rate:.3e} particle-steps/s")
+    return rows
+
+
+def pf_batch_sweep():
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_batch_rollout
+
+    cfg = PfConfig(num_particles=1000, weight_mode="log")
+    rows = []
+    for b in (256, 1024, 4096):
+        @jax.jit
+        def fn(k):
+            final, outs = pf_batch_rollout(cfg, k, batch=b, n_steps=100)
+            return jnp.sum(final.particles) + jnp.sum(outs.x_est)
+
+        dt = timed(fn, jax.random.key(0))
+        rate = b * 1000 * 100 / dt
+        rows.append((b, rate))
+        log(f"PF batch B={b}x1000: {rate:.3e} particle-steps/s")
     return rows
 
 
@@ -112,6 +131,7 @@ def main():
     log(f"devices: {jax.devices()}")
     e = ekf_sweep()
     p = pf_sweep()
+    pb = pf_batch_sweep()
     s = solve_sweep()
     print("\n| Workload | Scale | Rate / latency |")
     print("|---|---|---|")
@@ -120,6 +140,9 @@ def main():
               f"{r:.2e} steps/s |")
     for n, r in p:
         print(f"| PF fused rollout (100 steps) | {n} particles | "
+              f"{r:.2e} particle-steps/s |")
+    for b, r in pb:
+        print(f"| Batched fused PF (100 steps) | {b} x 1000 particles | "
               f"{r:.2e} particle-steps/s |")
     for n, sv, ne, dt in s:
         print(f"| graph solve ({sv}, GN to tol) | {n} poses, {ne} edges "
