@@ -400,3 +400,31 @@ class TestShardedGraphSolve:
                                  relinearize_omega=True, **kw)
         np.testing.assert_allclose(np.asarray(poses_s),
                                    np.asarray(res.poses), atol=3e-2)
+
+
+class TestShardedFusedEkf:
+    """Rollout-sharded whole-rollout EKF kernel (interpret mode)."""
+
+    def test_matches_single_device_noise_free(self):
+        from tpuslam.filters import EkfConfig
+        from tpuslam.ops import ekf_fused_rollout
+        from tpuslam.parallel import make_mesh, sharded_ekf_fused_sweep
+
+        cfg = EkfConfig()
+        mesh = make_mesh(n_rollout=8, n_particle=1)
+        final, err, rmse = jax.jit(lambda s: sharded_ekf_fused_sweep(
+            cfg, mesh, s, batch=32, n_steps=12, tile_b=4,
+            noise_on=False, interpret=True))(0)
+        f1, e1 = ekf_fused_rollout(cfg, 0, batch=4, n_steps=12, tile_b=4,
+                                   noise_on=False, interpret=True)
+        # Noise-free rollouts are identical on every device/lane.
+        np.testing.assert_allclose(np.asarray(final.x_hat[0]),
+                                   np.asarray(f1.x_hat[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(final.x_hat[31]),
+                                   np.asarray(f1.x_hat[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(err),
+                                   np.tile(np.asarray(e1), 8), atol=1e-6)
+        np.testing.assert_allclose(
+            float(rmse),
+            float(np.sqrt(np.asarray(e1).mean() / 12)), atol=1e-6)
+        assert final.x_hat.shape == (32, 3)

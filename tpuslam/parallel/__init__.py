@@ -7,13 +7,14 @@ from tpuslam.parallel.graph_shard import (pad_edges,
                                            sharded_graph_solve)
 from tpuslam.parallel.mesh import (PARTICLE_AXIS, ROLLOUT_AXIS, make_mesh,
                                    replicated, rollout_sharding)
-from tpuslam.parallel.rollouts import (sharded_ekf_sweep,
+from tpuslam.parallel.rollouts import (sharded_ekf_fused_sweep,
+                                       sharded_ekf_sweep,
                                        sharded_pf_fused_init,
                                        sharded_pf_fused_step,
                                        sharded_pf_step)
 
 __all__ = ["PARTICLE_AXIS", "ROLLOUT_AXIS", "make_mesh", "replicated",
            "rollout_sharding", "sharded_cg_local", "sharded_cg_solve",
-           "sharded_ekf_sweep", "sharded_pf_step",
+           "sharded_ekf_sweep", "sharded_ekf_fused_sweep", "sharded_pf_step",
            "sharded_pf_fused_init", "sharded_pf_fused_step", "pad_edges",
            "sharded_gn_iteration", "sharded_graph_solve"]

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from tpuslam.filters.ekf import EkfConfig, ekf_init, ekf_rollout
+from tpuslam.filters.ekf import (EkfConfig, EkfState, ekf_init,
+                                 ekf_rollout)
 from tpuslam.filters.pf import (PfConfig, PfState, pf_estimate,
                                 pf_likelihood)
 from tpuslam.models.process import circular_step
@@ -58,6 +59,54 @@ def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int):
     fn = jax.shard_map(local, mesh=mesh, in_specs=P(ROLLOUT_AXIS),
                        out_specs=(P(ROLLOUT_AXIS), P(ROLLOUT_AXIS), P()))
     return fn(keys)
+
+
+def sharded_ekf_fused_sweep(cfg: EkfConfig, mesh, seed, batch: int,
+                            n_steps: int, tile_b: int = 2048,
+                            noise_on: bool = True,
+                            interpret: bool = False):
+    """Fused-kernel Monte-Carlo EKF sweep sharded over ``rollout``.
+
+    The production composition of the two EKF tiers: every device runs
+    the whole-rollout Pallas kernel (:mod:`tpuslam.ops.ekf_pallas`) on
+    its shard of the batch - one launch per device for all ``n_steps`` -
+    and the squared-error accumulators reduce to the global RMSE with a
+    single ``psum`` over ICI.  Per-device PRNG streams fold the device
+    index into the seed.
+
+    Args:
+        batch: total rollouts, divisible by the rollout axis size (and
+            each device's share by ``tile_b``, or smaller than it).
+
+    Returns:
+        ``(final, err, rmse)``: the sharded final :class:`EkfState`
+        (leading axis ``batch``), per-rollout accumulated squared error
+        ``(batch,)``, and the replicated global position RMSE.
+    """
+    from tpuslam.ops import ekf_fused_rollout
+
+    n_dev = mesh.shape[ROLLOUT_AXIS]
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by {n_dev}")
+    b_local = batch // n_dev
+
+    def local(seed_arr):
+        my = jax.lax.axis_index(ROLLOUT_AXIS)
+        final, err = ekf_fused_rollout(
+            cfg, seed_arr[0] + my * 7919, batch=b_local,
+            n_steps=n_steps, tile_b=min(tile_b, b_local),
+            noise_on=noise_on, interpret=interpret)
+        se = jax.lax.psum(jnp.sum(err), ROLLOUT_AXIS)
+        rmse = jnp.sqrt(se / (batch * n_steps))
+        return final, err, rmse
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(),
+        out_specs=(jax.tree.map(lambda _: P(ROLLOUT_AXIS),
+                                EkfState(0, 0, 0, 0)),
+                   P(ROLLOUT_AXIS), P()),
+        check_vma=False)
+    return fn(jnp.asarray([seed], jnp.int32))
 
 
 def sharded_pf_fused_init(cfg: PfConfig, mesh, tile_n: int = 2048):
