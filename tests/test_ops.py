@@ -50,6 +50,19 @@ class TestEkfFusedKernel:
         np.testing.assert_allclose(np.asarray(f1.x_hat[12]),
                                    np.asarray(f2.x_hat[0]), atol=1e-6)
 
+    def test_nees_accumulator_plumbing(self):
+        """with_nees returns the third accumulator; noise-free the
+        estimate equals truth so both accumulators are exactly zero
+        (the statistical NEES~2 band is checked on real hardware by
+        scripts/tpu_validate.py)."""
+        final, err, nees = ekf_fused_rollout(CFG, 0, batch=8, n_steps=10,
+                                             tile_b=8, noise_on=False,
+                                             interpret=True,
+                                             with_nees=True)
+        assert nees.shape == (8,)
+        np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(nees), 0.0, atol=1e-8)
+
     def test_bad_tile_raises(self):
         with pytest.raises(ValueError):
             ekf_fused_rollout(CFG, 0, batch=100, n_steps=5, tile_b=64,

@@ -75,7 +75,8 @@ def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
 
     def step(i, carry):
         (xd0, xd1, xd2, xh0, xh1, xh2,
-         p00, p01, p02, p10, p11, p12, p20, p21, p22, acc) = carry
+         p00, p01, p02, p10, p11, p12, p20, p21, p22, acc,
+         acc_n) = carry
 
         if noise_on:
             n = _normals(lane_shape, 6)  # 5 used; Box-Muller pairs of 2
@@ -174,19 +175,26 @@ def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
         n21 = p21 - (g20 * p01 + g21 * p11)
         n22 = p22 - (g20 * p02 + g21 * p12)
 
-        # --- in-kernel position-RMSE accumulator -------------------------
+        # --- in-kernel position-RMSE + NEES accumulators -----------------
+        # NEES uses the POSTERIOR position covariance block (analytic
+        # 2x2 solve): e^T P^-1 e, chi2(2)-distributed ~ mean 2 for a
+        # consistent filter (metrics/metrics.py::nees at full speed).
         d0 = xh0 - xt0
         d1 = xh1 - xt1
         acc = acc + d0 * d0 + d1 * d1
+        det_n = n00 * n11 - n01 * n10
+        acc_n = acc_n + (n11 * d0 * d0 - (n01 + n10) * d0 * d1
+                         + n00 * d1 * d1) / det_n
 
         return (xd0, xd1, xd2, xh0, xh1, xh2,
-                n00, n01, n02, n10, n11, n12, n20, n21, n22, acc)
+                n00, n01, n02, n10, n11, n12, n20, n21, n22, acc,
+                acc_n)
 
     # Initial state/covariance from the memory-backed input tiles (splat
     # constants in the loop carry trip Mosaic relayout checks).
     init = tuple(state_in_ref[i:i + 1, :] for i in range(3, 9)) + tuple(
         cov_in_ref[i:i + 1, :] for i in range(9)) + (
-            state_in_ref[0:1, :] * 0.0,)
+            state_in_ref[0:1, :] * 0.0, state_in_ref[0:1, :] * 0.0)
     out = jax.lax.fori_loop(0, n_steps, step, init)
 
     zero_row = state_in_ref[0:1, :] * 0.0
@@ -198,14 +206,16 @@ def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
     for i in range(9):
         cov_ref[i:i + 1, :] = out[6 + i]
     err_ref[0:1, :] = out[15]
+    err_ref[1:2, :] = out[16]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "batch", "n_steps", "tile_b",
-                                    "noise_on", "interpret"))
+                                    "noise_on", "interpret",
+                                    "with_nees"))
 def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
                       tile_b: int = 2048, noise_on: bool = True,
-                      interpret: bool = False):
+                      interpret: bool = False, with_nees: bool = False):
     """Run ``batch`` fused EKF rollouts of ``n_steps`` in one kernel.
 
     Args:
@@ -221,6 +231,9 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
         ``(EkfState, sum_sq_err)``: final batched state (pytree of
         ``(batch, ...)`` arrays) and the ``(batch,)`` accumulated position
         squared error (divide by n_steps, sqrt, for per-rollout RMSE).
+        With ``with_nees=True``, ``(EkfState, sum_sq_err, sum_nees)`` -
+        the in-kernel accumulated position NEES (divide by n_steps;
+        ~2 for a consistent filter).
     """
     tile_b = min(tile_b, batch)
     if batch % tile_b:
@@ -264,12 +277,12 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
         out_shape=(
             jax.ShapeDtypeStruct((9, batch), jnp.float32),
             jax.ShapeDtypeStruct((9, batch), jnp.float32),
-            jax.ShapeDtypeStruct((1, batch), jnp.float32),
+            jax.ShapeDtypeStruct((2, batch), jnp.float32),
         ),
         out_specs=(
             row_spec,
             row_spec,
-            pl.BlockSpec((1, tile_b), lambda i: (0, i),
+            pl.BlockSpec((2, tile_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -278,4 +291,6 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
     final = EkfState(
         x_true=state[0:3].T, x_dr=state[3:6].T, x_hat=state[6:9].T,
         cov=cov.T.reshape(batch, 3, 3))
+    if with_nees:
+        return final, err[0], err[1]
     return final, err[0]
