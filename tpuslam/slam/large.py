@@ -288,29 +288,40 @@ def assemble_banded(cfg: GraphConfig, blocks, edges: EdgeList, t1: int,
     Returns ``(h_band (band+1, T1, 3, 3), b (T1, 3), kept (T1,))``.
     """
     dtype = blocks["h_bb"].dtype
-    h_band = jnp.zeros((band + 1, t1, 3, 3), dtype)
-    bvec = jnp.zeros((t1, 3), dtype)
+    # Scatter into a FLAT ((band+1)*9, t1) layout - t1 on the minor dim.
+    # Scattering into (band+1, t1, 3, 3) directly makes XLA materialize
+    # the array with the 3x3 dims minor, which the TPU tile-pads to
+    # (4, 128): a 57x memory blowup that OOMs beyond ~150k poses
+    # (measured: f32[3,3,41e6] -> 84 GB at 1M).  Entry-row scatters keep
+    # the natural layout; cost is 27 small scatters of E rows each.
+    h_flat = jnp.zeros(((band + 1) * 9, t1), dtype)
+    b_flat = jnp.zeros((3, t1), dtype)
     d = edges.t_a - edges.t_b
-    h_band = h_band.at[0, edges.t_b].add(blocks["h_bb"])
-    h_band = h_band.at[0, edges.t_a].add(blocks["h_aa"])
-    h_band = h_band.at[d, edges.t_b].add(blocks["h_ba"])
-    bvec = bvec.at[edges.t_b].add(blocks["b_b"])
-    bvec = bvec.at[edges.t_a].add(blocks["b_a"])
+    for k in range(9):
+        r, c = divmod(k, 3)
+        h_flat = h_flat.at[k, edges.t_b].add(blocks["h_bb"][:, r, c])
+        h_flat = h_flat.at[k, edges.t_a].add(blocks["h_aa"][:, r, c])
+        h_flat = h_flat.at[d * 9 + k, edges.t_b].add(
+            blocks["h_ba"][:, r, c])
+    b_flat = b_flat.at[:, edges.t_b].add(blocks["b_b"].T)
+    b_flat = b_flat.at[:, edges.t_a].add(blocks["b_a"].T)
 
     m = blocks["mask"]
     kept = (jnp.zeros((t1,), jnp.int32)
             .at[edges.t_b].add(m.astype(jnp.int32))
             .at[edges.t_a].add(m.astype(jnp.int32))) > 0
 
-    eye = jnp.eye(3, dtype=dtype)
-    # Identity padding for unconstrained times (delta stays exactly 0).
-    h_band = h_band.at[0].add(
-        jnp.where(kept[:, None, None], 0.0, 1.0) * eye)
-    # Gauge anchor on the first kept block (graph_based_slam.py:474-475).
+    # Identity padding for unconstrained times (delta stays exactly 0)
+    # + gauge anchor on the first kept block (graph_based_slam.py:474-475).
     first_kept = jnp.argmax(kept)
-    h_band = h_band.at[0, first_kept].add(
-        jnp.where(jnp.any(kept), cfg.anchor, 0.0) * eye)
-    return h_band, bvec, kept
+    anchor = jnp.where(jnp.any(kept), cfg.anchor, 0.0)
+    for k in (0, 4, 8):
+        h_flat = h_flat.at[k].add(jnp.where(kept, 0.0, 1.0))
+        h_flat = h_flat.at[k, first_kept].add(anchor)
+
+    h_band = jnp.transpose(h_flat.reshape(band + 1, 9, t1),
+                           (0, 2, 1)).reshape(band + 1, t1, 3, 3)
+    return h_band, b_flat.T, kept
 
 
 def add_odometry_chain(h_band, bvec, poses, rel_odom, odom_info):
