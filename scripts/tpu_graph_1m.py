@@ -36,7 +36,7 @@ def main():
         exact_jacobians=True)
     t0 = time.perf_counter()
     pt, po, obs = make_large_scene(cfg, jax.random.key(0), n_poses,
-                                   n_lm, radius=0.3 * n_poses,
+                                   n_lm, radius=0.05 * n_poses,
                                    odom_noise=0.1, scan_chunk=10_000)
     log(f"scene built in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
@@ -50,7 +50,7 @@ def main():
         res = graph_solve_banded(
             cfg, p, obs, el, band=window, rel_odom=rel_odom,
             odom_info=(100.0, 100.0, 100.0), solver="tridiag",
-            delta_tol=0.01 / 18 * n_poses)
+            delta_tol=1e-6 * n_poses)
         return res.poses, res.delta_sum, res.gn_iters
 
     t0 = time.perf_counter()

@@ -473,3 +473,73 @@ class TestDamping:
         err = np.sqrt(((est[:, :2] - np.asarray(pt)[:, :2]) ** 2)
                       .sum(-1).mean())
         assert err < 10.0  # bounded (odometry drift is ~1.5 m)
+
+
+class TestFlatTridiag:
+    """Flat-layout tridiagonal pipeline vs the (D, T1, 3, 3) original
+    (the flat path is the production tridiag route - its intermediates
+    keep the trajectory axis minor, avoiding the tile-padded layouts
+    that OOM beyond ~150k poses)."""
+
+    def _random_banded(self, rng, t1, band):
+        d1 = band + 1
+        h_flat = np.zeros((d1 * 9, t1), np.float32)
+        # SPD-ish: random band + diagonal dominance
+        for d in range(d1):
+            blkv = rng.normal(size=(t1, 3, 3)).astype(np.float32) * 0.3
+            if d == 0:
+                blkv = 0.5 * (blkv + blkv.transpose(0, 2, 1))
+                blkv += np.eye(3, dtype=np.float32)[None] * (band + 4.0)
+            for a in range(3):
+                for b_ in range(3):
+                    h_flat[d * 9 + 3 * a + b_, :] = blkv[:, a, b_]
+            # zero entries that would reference poses beyond the end
+            if d:
+                h_flat[d * 9:(d + 1) * 9, t1 - d:] = 0.0
+        b = rng.normal(size=(3, t1)).astype(np.float32)
+        return jnp.asarray(h_flat), jnp.asarray(b)
+
+    @pytest.mark.parametrize("t1,band,s", [(48, 4, 8), (60, 3, 12),
+                                           (40, 5, 5)])
+    def test_matches_band_solver(self, rng, t1, band, s):
+        from tpuslam.slam.tridiag import (banded_solve_tridiag,
+                                          banded_solve_tridiag_flat)
+
+        h_flat, b3 = self._random_banded(rng, t1, band)
+        d1 = band + 1
+        h_band = jnp.transpose(h_flat.reshape(d1, 9, t1),
+                               (0, 2, 1)).reshape(d1, t1, 3, 3)
+        x_band = banded_solve_tridiag(h_band, b3.T, super_size=s)
+        x_flat = banded_solve_tridiag_flat(h_flat, b3, band, super_size=s)
+        np.testing.assert_allclose(np.asarray(x_flat), np.asarray(x_band),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_graph_solve_tridiag_uses_flat(self, rng):
+        """End-to-end graph solve on the tridiag path still converges
+        and matches the CR solver (which runs the band layout)."""
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, graph_solve_banded,
+                                  make_large_scene, window_pairs)
+
+        t1 = 200
+        cfg = GraphConfig(
+            max_times=t1, num_landmarks=30, max_gn_iters=6,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)),
+            exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(0), t1, 30,
+                                       radius=60.0, odom_noise=0.05)
+        el = window_pairs(np.asarray(obs.valid), window=12)
+        rel = po[1:] - po[:-1]
+        rel = rel.at[:, 2].set(wrap_angle(rel[:, 2]))
+        kw = dict(band=12, rel_odom=rel, odom_info=(100.0, 100.0, 100.0),
+                  delta_tol=1e-4 * t1)
+        r_td = graph_solve_banded(cfg, po, obs, el, solver="tridiag", **kw)
+        r_cr = graph_solve_banded(cfg, po, obs, el, solver="cr", **kw)
+        np.testing.assert_allclose(np.asarray(r_td.poses),
+                                   np.asarray(r_cr.poses), atol=5e-3)
+        assert np.isfinite(np.asarray(r_td.poses)).all()
+        assert int(r_td.gn_iters) >= 1

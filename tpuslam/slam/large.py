@@ -279,13 +279,18 @@ def build_edge_blocks(cfg: GraphConfig, poses, obs: GraphObservations,
     }
 
 
-def assemble_banded(cfg: GraphConfig, blocks, edges: EdgeList, t1: int,
-                    band: int):
-    """Scatter-add edge blocks into block-banded storage.
+def assemble_banded_flat(cfg: GraphConfig, blocks, edges: EdgeList,
+                         t1: int, band: int):
+    """Scatter-add edge blocks into FLAT banded storage.
 
-    ``h_band[d, i]`` holds block ``H[i, i+d]`` (upper band, d in [0, band]).
+    ``h_flat[d*9 + 3a + b, i]`` holds scalar ``H[i, i+d][a, b]`` (upper
+    band, d in [0, band]); ``b_flat[a, i]`` the rhs.  The flat layout
+    keeps the trajectory axis minor - the layout the TPU tiles without
+    padding (see the comment below) - and is the native input of the
+    flat tridiagonal solver (:func:`tpuslam.slam.tridiag.\
+banded_solve_tridiag_flat`).
 
-    Returns ``(h_band (band+1, T1, 3, 3), b (T1, 3), kept (T1,))``.
+    Returns ``(h_flat ((band+1)*9, T1), b_flat (3, T1), kept (T1,))``.
     """
     dtype = blocks["h_bb"].dtype
     # Scatter into a FLAT ((band+1)*9, t1) layout - t1 on the minor dim.
@@ -318,10 +323,41 @@ def assemble_banded(cfg: GraphConfig, blocks, edges: EdgeList, t1: int,
     for k in (0, 4, 8):
         h_flat = h_flat.at[k].add(jnp.where(kept, 0.0, 1.0))
         h_flat = h_flat.at[k, first_kept].add(anchor)
+    return h_flat, b_flat, kept
 
+
+def assemble_banded(cfg: GraphConfig, blocks, edges: EdgeList, t1: int,
+                    band: int):
+    """Scatter-add edge blocks into block-banded storage.
+
+    ``h_band[d, i]`` holds block ``H[i, i+d]`` (upper band, d in [0, band]).
+
+    Returns ``(h_band (band+1, T1, 3, 3), b (T1, 3), kept (T1,))``.
+    """
+    h_flat, b_flat, kept = assemble_banded_flat(cfg, blocks, edges, t1,
+                                                band)
     h_band = jnp.transpose(h_flat.reshape(band + 1, 9, t1),
                            (0, 2, 1)).reshape(band + 1, t1, 3, 3)
     return h_band, b_flat.T, kept
+
+
+def add_odometry_chain_flat(h_flat, b_flat, poses, rel_odom, odom_info):
+    """Flat-layout twin of :func:`add_odometry_chain` (diagonal-
+    information motion chain; pure row slice-adds, no scatters)."""
+    info = jnp.asarray(odom_info, poses.dtype)
+    rel = poses[1:] - poses[:-1]
+    err = rel - rel_odom
+    err = err.at[:, 2].set(wrap_angle(err[:, 2]))
+    w_err = (err * info).T  # (3, T1-1)
+
+    for r in range(3):
+        k = 4 * r  # diagonal entry (r, r)
+        h_flat = h_flat.at[k, :-1].add(info[r])
+        h_flat = h_flat.at[k, 1:].add(info[r])
+        h_flat = h_flat.at[9 + k, :-1].add(-info[r])
+    b_flat = b_flat.at[:, :-1].add(-w_err)
+    b_flat = b_flat.at[:, 1:].add(w_err)
+    return h_flat, b_flat
 
 
 def add_odometry_chain(h_band, bvec, poses, rel_odom, odom_info):
@@ -552,24 +588,34 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
         omega_poses = poses if relinearize_omega else poses_init
         blocks = build_edge_blocks(cfg, poses, obs, edges,
                                    omega_poses=omega_poses)
-        h_band, bvec, kept = assemble_banded(cfg, blocks, edges, t1, band)
+        h_flat, b_flat, kept = assemble_banded_flat(cfg, blocks, edges,
+                                                    t1, band)
         if rel_odom is not None:
-            h_band, bvec = add_odometry_chain(h_band, bvec, poses,
-                                              rel_odom, odom_info)
+            h_flat, b_flat = add_odometry_chain_flat(
+                h_flat, b_flat, poses, rel_odom, odom_info)
             kept = jnp.ones_like(kept)  # the chain constrains every pose
         if damping:
-            diag = jnp.diagonal(h_band[0], axis1=-2, axis2=-1)  # (T1, 3)
-            h_band = h_band.at[0].add(
-                damping * jax.vmap(jnp.diag)(diag))
-        if solver == "cholesky":
+            for k in (0, 4, 8):
+                h_flat = h_flat.at[k].multiply(1.0 + damping)
+        if solver == "tridiag":
+            # Flat end-to-end: no (.., 3, 3)-trailing intermediates
+            # (their tile-padded layouts OOM beyond ~150k poses).
+            from tpuslam.slam.tridiag import banded_solve_tridiag_flat
+
+            delta = banded_solve_tridiag_flat(h_flat, -b_flat, band)
+            cg_it = jnp.asarray(0)
+            h_band = None
+        else:
+            h_band = jnp.transpose(
+                h_flat.reshape(band + 1, 9, t1),
+                (0, 2, 1)).reshape(band + 1, t1, 3, 3)
+            bvec = b_flat.T
+        if solver in ("tridiag",):
+            pass
+        elif solver == "cholesky":
             from tpuslam.slam.cholesky import banded_solve_direct
 
             delta = banded_solve_direct(h_band, -bvec)
-            cg_it = jnp.asarray(0)
-        elif solver == "tridiag":
-            from tpuslam.slam.tridiag import banded_solve_tridiag
-
-            delta = banded_solve_tridiag(h_band, -bvec)
             cg_it = jnp.asarray(0)
         elif solver == "cr":
             from tpuslam.slam.cyclic import banded_solve_cr

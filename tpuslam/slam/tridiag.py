@@ -107,33 +107,47 @@ def block_thomas_solve(diag, upper, b):
 
     # TPU matmuls default to bf16 accumulation; the Schur-complement
     # recursion needs full f32 or it loses positive-definiteness and the
-    # solve accuracy GN depends on.
+    # solve accuracy GN depends on.  The recursion carries EXPLICIT
+    # inverses (Cholesky factor -> triangular inverse -> S^-1) rather
+    # than cho_solve-ing vectors: a vector solve routes through an
+    # (m, 1) intermediate whose stacked remat copies tile-pad 1 -> 128
+    # in the scan (measured: 147 MB per saved tensor at 100k poses,
+    # compile-time OOM); with inverses every saved tensor is (m, m) and
+    # every vector op is a clean matvec.
+    # Vectors ride as (1, m) ROWS end-to-end: an (m,) vector in a TPU
+    # matmul becomes an (m, 1) operand whose scan-stacked buffers get a
+    # tile-padded layout (128x; compile-time OOM at 100k poses with the
+    # flat pipeline), while a (1, m) row pads only (8, 128).
+    b_row = b[:, None, :]  # (n, 1, m)
     with jax.default_matmul_precision("highest"):
         def fwd(carry, inputs):
-            chol_prev, y_prev, u_prev = carry
+            inv_prev, y_prev, u_prev = carry
             a_k, u_k, b_k = inputs
-            # W = S_{k-1}^{-1} U_{k-1} via the cached Cholesky factor.
-            w = jax.scipy.linalg.cho_solve((chol_prev, True), u_prev)
+            w = inv_prev @ u_prev  # S_{k-1}^{-1} U_{k-1}
             s_k = a_k - u_prev.T @ w
             s_k = 0.5 * (s_k + s_k.T)
-            rhs = b_k - w.T @ y_prev
+            rhs = b_k - y_prev @ w  # (1, m); (W^T y)^T == y^T W
             chol_k = jnp.linalg.cholesky(s_k)
-            return (chol_k, rhs, u_k), (chol_k, rhs)
+            li = jax.lax.linalg.triangular_solve(
+                chol_k, eye, left_side=True, lower=True)
+            inv_k = li.T @ li  # S_k^-1 = L^-T L^-1
+            return (inv_k, rhs, u_k), (inv_k, rhs)
 
-        init = (eye, jnp.zeros((m,), diag.dtype),
+        init = (eye, jnp.zeros((1, m), diag.dtype),
                 jnp.zeros((m, m), diag.dtype))
-        _, (chols, ys) = jax.lax.scan(fwd, init, (diag, up, b))
+        _, (invs, ys) = jax.lax.scan(fwd, init, (diag, up, b_row))
 
         def bwd(x_next, inputs):
-            chol_k, y_k, u_k = inputs
-            rhs = y_k - u_k @ x_next
-            x_k = jax.scipy.linalg.cho_solve((chol_k, True), rhs)
+            inv_k, y_k, u_k = inputs
+            # x = S^-1 (y - U x_next); S^-1 symmetric, so the row form
+            # is (y_row - x_next_row U^T) S^-1.
+            x_k = (y_k - x_next @ u_k.T) @ inv_k
             return x_k, x_k
 
         _, xs_rev = jax.lax.scan(
-            bwd, jnp.zeros((m,), diag.dtype),
-            (chols[::-1], ys[::-1], up[::-1]))
-        return xs_rev[::-1]
+            bwd, jnp.zeros((1, m), diag.dtype),
+            (invs[::-1], ys[::-1], up[::-1]))
+        return xs_rev[::-1, 0, :]
 
 
 def pad_band(h_band, b, multiple: int):
@@ -165,6 +179,137 @@ def jacobi_prescale(h_band, b):
     s_col = s[idx]  # (D, T1, 3)
     h_scaled = h_band * s[None, :, :, None] * s_col[:, :, None, :]
     return h_scaled, b * s, s
+
+
+def _flat_prescale(h_flat, b_flat, band: int):
+    """Flat-layout Jacobi prescale: s = 1/sqrt(diag), applied as row
+    products (``h'[d*9+3a+b, i] = h * s[a, i] * s[b, i+d]``)."""
+    d1 = band + 1
+    t1 = h_flat.shape[1]
+    diag = jnp.stack([h_flat[0], h_flat[4], h_flat[8]])  # (3, T1)
+    s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    # s shifted by each diagonal offset (clamped at the end).
+    shifts = [jnp.concatenate(
+        [s[:, d:], jnp.repeat(s[:, -1:], d, axis=1)], axis=1)
+        if d else s for d in range(d1)]
+    s_shift = jnp.stack(shifts)  # (D, 3, T1)
+    s_a = jnp.tile(jnp.repeat(s, 3, axis=0)[None], (d1, 1, 1))
+    s_b = jnp.tile(s_shift, (1, 3, 1))
+    scale = (s_a * s_b).reshape(d1 * 9, t1)
+    return h_flat * scale, b_flat * s, s
+
+
+def _flat_to_tridiag(h_flat, band: int, super_size: int):
+    """Super-block densification straight from flat banded storage.
+
+    Builds the scalar diagonal strips ``val_o[3i+a] = H-scalar on
+    global scalar diagonal o`` (the G-matrix column is simply ``a + o``)
+    and places them into dense ``(N, 3S, 3S)`` blocks with two one-hot
+    batched matmuls (each output scalar has EXACTLY ONE contributing
+    strip, so HIGHEST precision reproduces f32 bit-exactly).  No
+    intermediate ever carries trailing (3, 3) dims, whose tile-padded
+    layouts OOM beyond ~150k poses (see assemble_banded_flat).
+    """
+    if band > super_size:
+        raise ValueError(f"band {band} exceeds super block size "
+                         f"{super_size}")
+    d1 = band + 1
+    t1 = h_flat.shape[1]
+    n = t1 // super_size
+    s3 = 3 * super_size
+    n_o = 3 * band + 3  # scalar diagonals 0 .. 3*band+2
+
+    # Strip values per row phase a: va[i, o] = the scalar H entry on
+    # scalar diagonal o at scalar row 3i+a, which lives at flat column
+    # d*9 + 3a + b with 3d + b = a + o.  Each va is a STATIC column
+    # gather of the 2-D transposed flat storage - no intermediate ever
+    # carries a small trailing dim (tile-padded layouts of (.., 3, ..)
+    # tensors OOM the compile at 100k-1M poses).
+    ht = jnp.concatenate(
+        [h_flat.T, jnp.zeros((t1, 1), h_flat.dtype)], axis=1)
+    zero_col = 9 * d1  # appended zero column
+    vas = []
+    for a in range(3):
+        cols = []
+        for o in range(n_o):
+            c = a + o
+            d, b = divmod(c, 3)
+            cols.append(d * 9 + 3 * a + b if d <= band else zero_col)
+        vas.append(ht[:, jnp.asarray(cols)].reshape(n, super_size, n_o))
+
+    # Per-phase placement + one-hot row interleave (p = 3s + a), all as
+    # exact one-hot matmuls (each output scalar has exactly one
+    # contributing term; HIGHEST precision reproduces f32 bit-exactly).
+    # One-hots are built on device, not as baked literals.
+    s_i = jnp.arange(super_size)
+    o_i = jnp.arange(n_o)
+    j_i = jnp.arange(s3)
+    diag_u = jnp.zeros((n, s3, s3), h_flat.dtype)
+    upper = jnp.zeros((n, s3, s3), h_flat.dtype)
+    for a in range(3):
+        p_of_s = 3 * s_i + a  # scalar row of block-row s, phase a
+        w_d = ((p_of_s[:, None, None] + o_i[None, :, None])
+               == j_i[None, None, :]).astype(h_flat.dtype)
+        w_u = ((p_of_s[:, None, None] + o_i[None, :, None] - s3)
+               == j_i[None, None, :]).astype(h_flat.dtype)
+        rows_a = (j_i[:, None] == p_of_s[None, :]).astype(h_flat.dtype)
+        da = jnp.einsum("kso,soj->ksj", vas[a], w_d,
+                        precision=jax.lax.Precision.HIGHEST)
+        ua = jnp.einsum("kso,soj->ksj", vas[a], w_u,
+                        precision=jax.lax.Precision.HIGHEST)
+        diag_u = diag_u + jnp.einsum(
+            "ps,ksj->kpj", rows_a, da,
+            precision=jax.lax.Precision.HIGHEST)
+        upper = upper + jnp.einsum(
+            "ps,ksj->kpj", rows_a, ua,
+            precision=jax.lax.Precision.HIGHEST)
+    # Scalar-symmetric completion of the diagonal blocks (only scalar
+    # diagonals o >= 0 were placed).
+    diag = diag_u + jnp.triu(diag_u, 1).swapaxes(-1, -2)
+    return diag, upper[:-1]
+
+
+def banded_solve_tridiag_flat(h_flat, b_flat, band: int,
+                              super_size: int | None = None):
+    """Flat-layout twin of :func:`banded_solve_tridiag`.
+
+    Same math (pad + Jacobi prescale + super-block Thomas), but every
+    intermediate keeps the trajectory axis minor: scales to 1M+ poses
+    where the (D, T1, 3, 3) pipeline OOMs on tile-padded layouts.
+    """
+    d1 = band + 1
+    t1 = h_flat.shape[1]
+    if super_size is None:
+        super_size = max(band, 1)
+    pad = (-t1) % super_size
+    if pad:
+        h_flat = jnp.pad(h_flat, ((0, 0), (0, pad)))
+        for k in (0, 4, 8):
+            h_flat = h_flat.at[k, t1:].set(1.0)
+        b_flat = jnp.pad(b_flat, ((0, 0), (0, pad)))
+    t_pad = h_flat.shape[1]
+    n = t_pad // super_size
+
+    with jax.default_matmul_precision("highest"):
+        h_s, b_s, s = _flat_prescale(h_flat, b_flat, band)
+        diag, upper = _flat_to_tridiag(h_s, band, super_size)
+        # Interleave b rows (3, T1) -> (N, 3S) scalar order via a
+        # one-hot matmul (a (T1, 3)-shaped transpose would tile-pad
+        # 3 -> 128 at scale).
+        s3 = 3 * super_size
+        s_i = jnp.arange(super_size)
+        j_i = jnp.arange(s3)
+        r_hot = jnp.stack([
+            (j_i[:, None] == (3 * s_i + a)[None, :]).astype(b_s.dtype)
+            for a in range(3)])  # (3, 3S, S)
+        b_blk = b_s.reshape(3, n, super_size)
+        b_sup = jnp.einsum("aps,aks->kp", r_hot, b_blk,
+                           precision=jax.lax.Precision.HIGHEST)
+        x = block_thomas_solve(diag, upper, b_sup)
+        x3 = jnp.einsum("aps,kp->aks", r_hot, x,
+                        precision=jax.lax.Precision.HIGHEST)
+        x3 = x3.reshape(3, t_pad) * s
+    return x3.T[:t1]
 
 
 @highest_matmul_precision
