@@ -74,7 +74,7 @@ def pf_fused():
     from tpuslam.ops import pf_fused_rollout
 
     cfg = PfConfig(num_particles=100_000, weight_mode="log",
-                   resample_method="hist")
+                   resample_method="merge")
 
     @jax.jit
     def fused(k):
@@ -89,6 +89,103 @@ def pf_fused():
         float(fused(jax.random.key(1)))
         ts.append(time.perf_counter() - t0)
     log(f"PF fused: {100_000 * 100 / min(ts):.3e} particle-steps/s")
+
+
+@stage("pf_merge_1m")
+def pf_merge_1m():
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_fused_rollout
+    from tpuslam.ops.resample_pallas import (decode_indices,
+                                             merge_resample_rows,
+                                             slot_boundaries)
+
+    # On-device bit-exactness of the merge kernel vs the XLA decode.
+    n = 100_000
+    n_pad = -(-n // 2048) * 2048
+    key = jax.random.key(0)
+    lw = jax.random.normal(jax.random.fold_in(key, 1), (n_pad,),
+                           jnp.float32) * 8.0
+    lw = jnp.where(jnp.arange(n_pad) < n, lw, -jnp.inf)
+    w = jnp.exp(lw - jnp.max(lw))
+    w_row = (w / jnp.sum(w))[None, :]
+    p = jax.random.normal(jax.random.fold_in(key, 2), (3, n_pad),
+                          jnp.float32)
+    kr = jax.random.fold_in(key, 3)
+    out = merge_resample_rows(kr, p, w_row, n)
+
+    @jax.jit
+    def oracle(kr, p, w_row):
+        offs = jax.random.uniform(kr, dtype=jnp.float32)
+        idx = decode_indices(slot_boundaries(w_row, n, offs), n)
+        return jnp.zeros_like(p).at[:, :n].set(p[:, :n][:, idx])
+
+    d = np.abs(np.asarray(out) - np.asarray(oracle(kr, p, w_row)))
+    assert d.max() == 0.0, d.max()
+    log("merge resample: bit-exact vs decode on device")
+
+    cfg = PfConfig(num_particles=1_000_000, weight_mode="log",
+                   resample_method="merge")
+
+    @jax.jit
+    def roll(k):
+        final, _ = pf_fused_rollout(cfg, k, 100)
+        return jnp.sum(final.particles)
+
+    float(roll(jax.random.key(0)))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(roll(jax.random.key(1)))
+        ts.append(time.perf_counter() - t0)
+    log(f"PF fused 1M [merge]: {1e6 * 100 / min(ts):.3e} "
+        f"particle-steps/s")
+
+
+@stage("pf_batch")
+def pf_batch():
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_batch_rollout
+
+    cfg = PfConfig(num_particles=1000, weight_mode="log")
+    final, outs = jax.jit(lambda k: pf_batch_rollout(
+        cfg, k, batch=64, n_steps=100))(jax.random.key(0))
+    err = (np.asarray(outs.x_est)[20:, :, :2]
+           - np.asarray(outs.x_true)[20:, None, :2])
+    rmse = float(np.sqrt((err ** 2).sum(-1).mean()))
+    assert rmse < 0.5, rmse
+    assert not np.asarray(outs.bad).any()
+    log(f"PF batch 64x1000 RMSE {rmse:.3f}, "
+        f"fire-rate {float(np.asarray(outs.resampled).mean()):.2f}")
+
+    @jax.jit
+    def roll(k):
+        final, outs = pf_batch_rollout(cfg, k, batch=1024, n_steps=100)
+        return jnp.sum(outs.x_est)
+
+    float(roll(jax.random.key(0)))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(roll(jax.random.key(1)))
+        ts.append(time.perf_counter() - t0)
+    log(f"PF batch 1024x1000: {1024 * 1000 * 100 / min(ts):.3e} "
+        f"particle-steps/s")
+
+
+@stage("ekf_nees")
+def ekf_nees():
+    from tpuslam.filters import EkfConfig
+    from tpuslam.ops import ekf_fused_rollout
+
+    _, err, nees = ekf_fused_rollout(EkfConfig(), 3, batch=8192,
+                                     n_steps=360, tile_b=2048,
+                                     with_nees=True)
+    m = float(jnp.mean(nees) / 360)
+    rmse = float(jnp.sqrt(jnp.mean(err) / 360))
+    assert 0.5 < m < 8.0, m
+    assert 0.2 < rmse < 0.6, rmse
+    log(f"EKF 8192x360: RMSE {rmse:.3f}, mean NEES {m:.2f} "
+        f"(XLA-path reference ~1.1)")
 
 
 @stage("pf_scan")
@@ -183,7 +280,10 @@ def bench_json():
 if __name__ == "__main__":
     warmup()
     ekf_pallas()
+    ekf_nees()
     pf_fused()
+    pf_merge_1m()
+    pf_batch()
     pf_scan()
     graph_10k()
     demo_course()
