@@ -13,8 +13,11 @@ the scaling redesign:
     set becomes an explicit index-tensor :class:`EdgeList` built once,
     host-side, from the (static) visibility pattern.
   * **Block-banded storage**: with pairs bounded by ``W``, H is block-
-    banded with ``D = W+1`` block diagonals; storage is ``(D, T1, 3, 3)``
-    (upper band; symmetry gives the lower half).
+    banded with ``D = W+1`` block diagonals.  The PRIMARY storage is
+    the flat ``(D*9, T1)`` scalar-entry layout (upper band; symmetry
+    gives the lower half) - the trajectory axis stays minor, which is
+    the only layout the TPU tiles without padding; the ``(D, T1, 3,
+    3)`` block view is derived for the solvers that still want it.
   * **Three solvers**: super-block tridiagonal Thomas
     (:mod:`tpuslam.slam.tridiag`, dense MXU-shaped blocks - the
     production path, 10k poses in ~0.13 s), blocked 3x3 banded Cholesky

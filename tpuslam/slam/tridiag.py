@@ -12,6 +12,18 @@ Thomas elimination needs only ``T1/S`` sequential steps, each a dense
 For band 40 at 10k poses: 250 scan steps of 120x120 algebra versus 10,000
 steps of 3x3 algebra - the sequential depth drops 40x and every op is
 MXU-shaped.  This is the production solver for BASELINE config 5.
+
+Two pipelines share the Thomas core (:func:`block_thomas_solve`):
+
+* :func:`banded_solve_tridiag` - the original ``(D, T1, 3, 3)`` block
+  layout (kept for the CR solver's re-tiling and as the test oracle).
+* :func:`banded_solve_tridiag_flat` - the PRODUCTION path: operates on
+  the flat ``((band+1)*9, T1)`` entry layout end-to-end, so no
+  intermediate carries small trailing dims.  XLA materializes such
+  tensors with the tiny dims minor and tile-pads them (4, 128)/(8, 128)
+  - 14-128x blowups that silently burned GBs at 100k poses and OOM'd
+  the compile beyond ~150k.  The flat path solves 1M poses at ~0.8 s
+  per GN iteration (scripts/tpu_graph_1m.py).
 """
 
 from __future__ import annotations
