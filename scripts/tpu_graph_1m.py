@@ -66,7 +66,7 @@ def main():
     rmse = float(np.sqrt((err ** 2).sum(-1).mean()))
     dr_err = np.asarray(po[:, :2]) - np.asarray(pt[:, :2])
     dr_rmse = float(np.sqrt((dr_err ** 2).sum(-1).mean()))
-    log(f"1M-pose solve: {dt:.2f} s, GN iters={int(iters)}, "
+    log(f"{n_poses}-pose solve: {dt:.2f} s, GN iters={int(iters)}, "
         f"RMSE {rmse:.3f} (odometry-only {dr_rmse:.3f})")
     log("ALL DONE")
 

@@ -107,6 +107,61 @@ class TestResampleInvariants:
         np.testing.assert_array_equal(counts, t - tprev)
         assert counts.sum() == n
 
+    @pytest.mark.parametrize("seed,scale", [(5, 4.0), (6, 9.0)])
+    def test_batch_kernel_degenerate_weights_no_double_cover(self, seed,
+                                                             scale):
+        """Continuous degenerate log-weights (the regime that fires the
+        gate): every output slot must be covered by EXACTLY one
+        particle.  Guards the quantized-exact cumsum - an unquantized
+        f32 split-matmul cumsum can invert an interval and silently SUM
+        two particles into one slot."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_init, pf_batch_step
+
+        n, b = 256, 2
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       ess_threshold_frac=2.0,  # always fire
+                       q_std=(0.0, 0.0, 0.0))
+        rng = np.random.default_rng(seed)
+        lw = rng.normal(size=n) * scale
+        st = pf_batch_init(cfg, b)
+        P = st.particles.shape[1] // b
+        p_rows = np.zeros((3, b * P), np.float32)
+        lw_rows = np.full((1, b * P), -np.inf, np.float32)
+        for f in range(b):
+            p_rows[0, f * P:f * P + n] = np.arange(n)  # marker = index
+            lw_rows[0, f * P:f * P + n] = lw
+        st = st._replace(particles=jnp.asarray(p_rows),
+                         log_w=jnp.asarray(lw_rows))
+        st2, out = pf_batch_step(cfg, st, jax.random.key(seed), 0,
+                                 noise_on=False, interpret=True)
+        assert bool(out.resampled.all())
+
+        # Exact quantized-integer oracle (mirrors the kernel: integer
+        # cumsum, f32 division/scale/ceil, offs = 0.5 noise-free).
+        m = lw.max()
+        w = np.exp((lw - m) - np.log(np.exp(lw - m).sum()))
+        wq = np.round(np.float32(w * np.float32(1 << 20))).astype(
+            np.int64)
+        cum = np.cumsum(wq)
+        q = cum[-1]
+        t = np.clip(np.ceil(np.float32(n) * (
+            cum.astype(np.float32) / np.float32(q))
+            - np.float32(0.5)), 0, n).astype(np.int64)
+        t[-1] = n
+        tprev = np.r_[0, t[:-1]]
+        expect = t - tprev
+        for f in range(b):
+            got = np.asarray(st2.particles[0, f * P:f * P + n])
+            delta = got - np.round(got)
+            marker = np.round(got - np.median(delta)).astype(int)
+            # no double-covered slot: all markers are valid indices and
+            # counts match the oracle intervals exactly
+            assert ((marker >= 0) & (marker < n)).all()
+            counts = np.bincount(marker, minlength=n)[:n]
+            np.testing.assert_array_equal(counts, expect)
+            assert counts.sum() == n
+
     def test_batch_kernel_resample_counts(self):
         """In-tile batched resample: with exact-binary weights the
         output counts equal the slot intervals per filter."""

@@ -20,9 +20,11 @@ Design (see /opt/skills/guides/pallas_guide.md):
   * The step loop is a ``fori_loop`` inside the kernel: zero per-step
     dispatch or scan overhead; all state stays in VMEM for the whole
     rollout.
-  * Position squared-error accumulates in-kernel into an ``(8, B)``
-    accumulator, so the Monte-Carlo RMSE reduction costs one row-sum at
-    the end instead of a ``(B, T, 3)`` HBM trajectory buffer.
+  * Position squared-error and NEES accumulate in-kernel into
+    ``(1, tile_b)`` carry rows (written out as a ``(2, batch)`` buffer:
+    row 0 = sum squared error, row 1 = sum NEES), so the Monte-Carlo
+    RMSE/consistency reductions cost one row-sum at the end instead of
+    a ``(B, T, 3)`` HBM trajectory buffer.
   * Grid over batch tiles (``TILE_B`` lanes each); each tile folds
     ``program_id`` into its seed for independent streams.
 """

@@ -13,16 +13,18 @@ glue between steps at all:
 
   * in-kernel ESS gate: one pass over the tile's log weights gives
     ``lse`` / ``ess`` (the gate value) directly;
-  * in-tile EXACT systematic resample: the weight cumsum is computed by
-    one-hot lower-triangular MXU matmuls over the tile's lanes (3-way
-    bf16 splits of w keep every product exact and the f32 accumulator
-    deterministic; inclusive and exclusive masks share the same
-    accumulation structure so each lane's slot interval
-    ``[t_lo, t_hi)`` is exactly consistent with its neighbor's), then
-    the interval one-hot ``M[i, u] = (t_lo_u <= i < t_hi_u)`` expands
-    survivors into their slots with one 9-split-row value matmul -
-    bit-exact particle values, no scatter, no gather, no compaction
-    (non-survivors self-mask with empty intervals);
+  * in-tile systematic resample: weights are quantized to integer
+    multiples of 2^-20 and their cumsum computed by one-hot
+    lower-triangular MXU matmuls over the tile's lanes - integer
+    partial sums below 2^24 are EXACT in f32 regardless of summation
+    order, so the boundary sequence is provably monotone and the
+    exclusive sum equals the previous inclusive sum exactly: each
+    lane's slot interval ``[t_lo, t_hi)`` chains with its neighbor's
+    with no gap or overlap.  The interval one-hot
+    ``M[i, u] = (t_lo_u <= i < t_hi_u)`` then expands survivors into
+    their slots with one 9-split-row value matmul - bit-exact particle
+    values, no scatter, no gather, no compaction (non-survivors
+    self-mask with empty intervals);
   * predict + landmark log-likelihood reuse the fused kernel's VPU math
     (:func:`tpuslam.ops.pf_pallas._predict_loglik`) with a per-tile
     observation row;
@@ -31,12 +33,14 @@ glue between steps at all:
 
 Parity note: selection follows the hist/merge interval semantics
 (``t = ceil(Np*cum - offs)``, trailing clip absorbed by forcing the last
-valid lane's boundary); the cumsum's MXU accumulation order differs from
-``jnp.cumsum``, so a comb point can land one slot differently than the
-XLA path in float-measure-zero ties - the same caveat as "hist" vs
-"search" (filters/pf.py::systematic_resample).  Monotonicity is
-guaranteed: the three split prefix rows are each monotone (nonnegative
-addends, fixed order), so their sum is monotone.
+valid lane's boundary), applied to the 2^-20-QUANTIZED weights - a comb
+point can land one slot differently than the XLA path (relative weight
+perturbation <= 2^-20), the same order of caveat as "hist" vs "search"
+(filters/pf.py::systematic_resample).  The quantization is what makes
+the in-tile boundaries provably monotone (see the resample comment in
+the kernel): an unquantized f32 split-matmul cumsum is NOT
+order-monotone, and an inverted interval would silently sum two
+particles into one output slot.
 """
 
 from __future__ import annotations
@@ -145,8 +149,22 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
     # does not fire: the matmuls below are the expensive part) ---------
     @pl.when(fire)
     def _resample():
+        # QUANTIZED-EXACT cumsum: weights are rounded to integer
+        # multiples of 2^-20 of the max-normalized mass, so every
+        # partial sum in the one-hot matmuls is an exact integer < 2^24
+        # in f32 (the bf16 splits of an integer are themselves
+        # integers, and each split row's f32 accumulator stays exact).
+        # Exact integer cumsums are MONOTONE in any summation order and
+        # the exclusive sum equals the previous inclusive sum exactly -
+        # which is what makes the slot intervals chain without overlap.
+        # (A raw f32 cumsum is NOT order-monotone: the mid/lo split
+        # rows are signed, and a ulp-level inversion would make two
+        # lanes' intervals overlap and the value matmul SUM two
+        # particles into one slot.)  Weights below 2^-21 of the total
+        # quantize to zero slots - statistically negligible.
         w = jnp.exp(lw_norm)  # padding lanes 0
-        wh, wm, wl = split3(w)
+        wq = jnp.round(w * float(1 << 20))  # integers in [0, 2^20]
+        wh, wm, wl = split3(wq)
         w3 = jnp.concatenate([wh, wm, wl], axis=0)  # (3, P) bf16
         cum_i3 = jax.lax.dot_general(
             w3, lt_inc_ref[:, :], (((1,), (0,)), ((), ())),
@@ -156,9 +174,12 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
             preferred_element_type=jnp.float32)
         cum_i = cum_i3[0:1] + cum_i3[1:2] + cum_i3[2:3]
         cum_e = cum_e3[0:1] + cum_e3[1:2] + cum_e3[2:3]
-        t_hi = jnp.clip(jnp.ceil(n * cum_i - offs), 0.0, float(n))
+        q_tot = jnp.max(cum_i)  # exact integer total (monotone cumsum)
+        t_hi = jnp.clip(jnp.ceil(n * (cum_i / q_tot) - offs), 0.0,
+                        float(n))
         t_hi = jnp.where(lane >= n - 1, float(n), t_hi)
-        t_lo = jnp.clip(jnp.ceil(n * cum_e - offs), 0.0, float(n))
+        t_lo = jnp.clip(jnp.ceil(n * (cum_e / q_tot) - offs), 0.0,
+                        float(n))
         t_lo = jnp.where(lane >= n, float(n), t_lo)
 
         i_sub = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) \

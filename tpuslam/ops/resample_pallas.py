@@ -341,6 +341,45 @@ def _pick_tile(n_pad: int, want: int) -> int:
     return t
 
 
+def merge_caps(n_lanes: int, t_in: int = 1024, t_k: int = 256,
+               t_out: int = 2048, w_b: int = 12):
+    """Resolve the merge kernel's static tile caps for ``n_lanes``.
+
+    Single source of the cap derivation for both the single-device
+    kernel and the sharded survivor-exchange path (their selection
+    bit-parity depends on deriving identical caps).
+
+    Returns ``(t_in, t_k, t_out, w_b, wb2)``.
+    """
+    t_in = _pick_tile(n_lanes, t_in)
+    t_k = min(t_k, t_in)
+    t_out = _pick_tile(n_lanes, t_out)
+    wb2 = min(_WB2, t_k)
+    while t_k % wb2:
+        wb2 //= 2
+    return t_in, t_k, t_out, w_b, wb2
+
+
+def boundary_decode(w_row, n: int, offs, t_in: int, t_k: int):
+    """Shared survivor decode: boundaries, flags, ranks, tile counts.
+
+    The one construction both resample paths must agree on bit-for-bit
+    (see :func:`merge_caps`).
+
+    Returns ``(t_row, tprev, f_row, g_row, cnt, ok_compact)`` where
+    ``cnt`` is the per-``t_in``-tile survivor count and ``ok_compact``
+    the pass-1 cap predicate.
+    """
+    t_row = slot_boundaries(w_row, n, offs)
+    tprev = jnp.concatenate(
+        [jnp.zeros((1, 1), jnp.int32), t_row[:, :-1]], axis=-1)
+    f_row = (t_row > tprev).astype(jnp.int32)
+    g_row = jnp.cumsum(f_row, axis=-1) - f_row  # exclusive rank
+    cnt = f_row[0].reshape(f_row.shape[1] // t_in, t_in).sum(axis=-1)
+    ok_compact = jnp.max(cnt) <= t_k
+    return t_row, tprev, f_row, g_row, cnt, ok_compact
+
+
 @functools.partial(jax.jit, static_argnames=("n", "t_in", "t_k", "t_out",
                                              "w_b", "interpret"))
 def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
@@ -372,26 +411,11 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
         raise ValueError("merge resample requires n < 2**24 (f32-exact "
                          f"slot boundaries); got {n}")
     n_pad = p_rows.shape[1]
-    t_in = _pick_tile(n_pad, t_in)
-    t_k = min(t_k, t_in)
-    t_out = _pick_tile(n_pad, t_out)
-    wb2 = min(_WB2, t_k)  # pass-2 window block lanes
-    while t_k % wb2:
-        wb2 //= 2
+    t_in, t_k, t_out, w_b, wb2 = merge_caps(n_pad, t_in, t_k, t_out, w_b)
 
     offs = jax.random.uniform(key, dtype=jnp.float32)
-    t_row = slot_boundaries(w_row, n, offs)
-
-    # Survivor flags / global exclusive ranks / left boundaries (cheap
-    # XLA row passes).
-    tprev = jnp.concatenate(
-        [jnp.zeros((1, 1), jnp.int32), t_row[:, :-1]], axis=-1)
-    f_row = (t_row > tprev).astype(jnp.int32)
-    g_row = jnp.cumsum(f_row, axis=-1) - f_row  # exclusive rank
-
-    nt_in = n_pad // t_in
-    cnt = f_row[0].reshape(nt_in, t_in).sum(axis=-1)
-    ok_compact = jnp.max(cnt) <= t_k
+    t_row, tprev, f_row, g_row, cnt, ok_compact = boundary_decode(
+        w_row, n, offs, t_in, t_k)
 
     def xla_path(_):
         idx = decode_indices(t_row, n)

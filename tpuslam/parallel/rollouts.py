@@ -237,25 +237,17 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             # single device would.
             from tpuslam.ops import resample_pallas as rp
 
-            t_in = rp._pick_tile(n_local, 1024)
-            t_k = min(256, t_in)
-            t_out = rp._pick_tile(n_local, 2048)
-            w_b = 12
-            wb2 = min(128, t_k)
-            while t_k % wb2:
-                wb2 //= 2
+            # Same cap derivation and boundary decode as the
+            # single-device kernel (shared helpers - selection
+            # bit-parity depends on them being identical).
+            t_in, t_k, t_out, w_b, wb2 = rp.merge_caps(n_local)
 
             all_lw = jax.lax.all_gather(lw[:, :n_local], PARTICLE_AXIS,
                                         axis=1, tiled=True)[0][None]
             w_all = jnp.exp(all_lw - lse)  # (1, n_total)
             offs = jax.random.uniform(k_rs, dtype=jnp.float32)
-            t_row = rp.slot_boundaries(w_all, n_total, offs)
-            tprev = jnp.concatenate(
-                [jnp.zeros((1, 1), jnp.int32), t_row[:, :-1]], axis=-1)
-            f_row = (t_row > tprev).astype(jnp.int32)
-            g_row = jnp.cumsum(f_row, axis=-1) - f_row
-            cnt = f_row[0].reshape(n_total // t_in, t_in).sum(axis=-1)
-            ok_compact = jnp.max(cnt) <= t_k
+            t_row, tprev, f_row, g_row, cnt, ok_compact = \
+                rp.boundary_decode(w_all, n_total, offs, t_in, t_k)
 
             sl = my * n_local
             t_s = jax.lax.dynamic_slice_in_dim(t_row, sl, n_local, 1)

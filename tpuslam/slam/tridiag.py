@@ -102,10 +102,11 @@ def block_thomas_solve(diag, upper, b):
 
     System: ``diag[k] x_k + upper[k] x_{k+1} + upper[k-1]^T x_{k-1} = b_k``.
 
-    Forward elimination with pivoted LU per super-block (dense MXU work;
-    LU rather than Cholesky because the f32 Schur recursion can push a
-    marginally-conditioned S_k out of strict PD range on TPU), then back
-    substitution; both are ``lax.scan`` of length N.
+    Forward elimination factoring each Schur complement with Cholesky
+    (the system is symmetrized and Jacobi-prescaled upstream, which
+    keeps the f32 recursion in PD range; a NaN factor here means the
+    prescaled system itself lost PD-ness) and carrying the explicit
+    inverse, then back substitution; both are ``lax.scan`` of length N.
 
     Args:
         diag: ``(N, M, M)``; upper: ``(N-1, M, M)``; b: ``(N, M)``.
