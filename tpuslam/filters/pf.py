@@ -123,15 +123,37 @@ def bivariate_normal_pdf(dx, dy, sigma_x, sigma_y, sigma_xy=0.0):
     return jnp.exp(-expo) / norm
 
 
+def quantized_cum(weights):
+    """Exact-integer weight cumsum for interval-based selection.
+
+    Weights are scaled to integer multiples of ``2^-20`` of their total;
+    integer partial sums below ``2^24`` are exact in f32 in ANY
+    summation order, so the cumsum is provably non-decreasing and the
+    exclusive prefix equals the previous inclusive prefix exactly - the
+    invariants the interval decodes (hist and the Pallas merge/batch
+    kernels) rely on.  A raw f32 cumsum does not guarantee either
+    (XLA's scan lowering may combine partial sums in element-dependent
+    orders).  Weights below ``2^-21`` of the total quantize to zero
+    slots - a <= 2^-20 relative perturbation of the selection law.
+
+    Returns ``(cum, total)`` in the input dtype.
+    """
+    total_w = jnp.sum(weights, axis=-1, keepdims=True)
+    wq = jnp.round(weights * (float(1 << 20) / total_w))
+    cum = jnp.cumsum(wq, axis=-1)
+    return cum, cum[..., -1:]
+
+
 def resample_indices(key, weights, method: str = "search"):
     """Systematic-resampling index selection (see
     :func:`systematic_resample`); returns the ``(N,)`` gather indices."""
     n = weights.shape[-1]
-    cum = jnp.cumsum(weights, axis=-1)
     offs = jax.random.uniform(key, dtype=weights.dtype)  # in units of 1/n
     if method == "merge":  # kernel method; identical selection to "hist"
         method = "hist"
     if method == "hist":
+        cumq, q_tot = quantized_cum(weights)
+        cum = cumq / q_tot
         # t_j = ceil(n * cum_j - offs); out_idx[i] = #{j : t_j <= i}
         #     = searchsorted(cum, (i + offs)/n, 'left') for float-generic
         # inputs.  Computed as a LAST-OCCURRENCE scatter + forward-fill
@@ -151,6 +173,7 @@ def resample_indices(key, weights, method: str = "search"):
             unique_indices=True)
         idx = jax.lax.associative_scan(jnp.maximum, sparse)
     else:
+        cum = jnp.cumsum(weights, axis=-1)
         u = (jnp.arange(n, dtype=weights.dtype) + offs) / n
         idx = jnp.searchsorted(cum, u, side="left")
     return jnp.clip(idx, 0, n - 1)

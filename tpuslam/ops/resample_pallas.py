@@ -89,8 +89,12 @@ _ROWS = 3 * _NV
 def slot_boundaries(w_row, n: int, offs):
     """Slot-boundary tensor of the systematic comb (shared decode input).
 
-    ``t_j = clip(ceil(n * cumsum(w)_j - offs), 0, n)`` with ``t[n-1]``
-    forced to ``n``: particle j owns output slots ``[t_{j-1}, t_j)``.
+    ``t_j = clip(ceil(n * cum_j - offs), 0, n)`` with ``t[n-1]`` forced
+    to ``n``: particle j owns output slots ``[t_{j-1}, t_j)``.  ``cum``
+    is the QUANTIZED-EXACT weight cumsum
+    (:func:`tpuslam.filters.pf.quantized_cum` - provably non-decreasing,
+    which the interval expansion depends on; shared with the hist
+    decode so selection stays bit-identical across paths).
     The forcing reproduces the reference's trailing ``clip(idx, 0, n-1)``
     (any slots past the last boundary select particle n-1) as plain
     interval coverage, so kernel and XLA decodes share one tensor.
@@ -104,8 +108,10 @@ def slot_boundaries(w_row, n: int, offs):
     Returns:
         ``(1, n_pad)`` int32 non-decreasing boundaries in ``[0, n]``.
     """
-    cum = jnp.cumsum(w_row.astype(jnp.float32), axis=-1)
-    t = jnp.ceil(n * cum - offs).astype(jnp.int32)
+    from tpuslam.filters.pf import quantized_cum
+
+    cumq, q_tot = quantized_cum(w_row.astype(jnp.float32))
+    t = jnp.ceil(n * (cumq / q_tot) - offs).astype(jnp.int32)
     t = jnp.clip(t, 0, n)
     lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
     return jnp.where(lane >= n - 1, n, t)
