@@ -1,6 +1,7 @@
 """Particle-filter parity + fidelity tests (SURVEY.md section 4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy import stats
@@ -213,3 +214,33 @@ class TestBatchedRollouts:
                                        atol=1e-5)
             np.testing.assert_array_equal(np.asarray(outs.resampled[b]),
                                           np.asarray(single.resampled))
+
+
+class TestQuantizedCum:
+    """The boundary-cumsum invariants every interval decode relies on
+    (filters/pf.py::quantized_cum)."""
+
+    @pytest.mark.parametrize("seed,scale", [(0, 1.0), (1, 10.0),
+                                            (2, 40.0)])
+    def test_monotone_and_exact_partition(self, seed, scale):
+        from tpuslam.filters.pf import quantized_cum
+        from tpuslam.ops.resample_pallas import slot_boundaries
+
+        rng = np.random.default_rng(seed)
+        n = 4096
+        lw = rng.normal(size=n) * scale  # incl. extreme dynamic range
+        w = np.exp(lw - lw.max())
+        w /= w.sum()
+        cum, total = (np.asarray(x) for x in quantized_cum(
+            jnp.asarray(w, jnp.float32)))
+        # integer-exact and non-decreasing
+        assert (cum == np.round(cum)).all()
+        assert (np.diff(cum) >= 0).all()
+        assert float(total[0]) == cum[-1]
+        # slot intervals partition [0, n): t non-decreasing, last == n
+        t = np.asarray(slot_boundaries(
+            jnp.asarray(w, jnp.float32)[None], n, jnp.float32(0.37)))[0]
+        assert (np.diff(t) >= 0).all()
+        assert t[-1] == n
+        tprev = np.r_[0, t[:-1]]
+        assert (t - tprev).sum() == n
