@@ -246,9 +246,11 @@ def graph_solve(poses, dist, bearing, orient, valid, t_now, gain,
     delta_sum = th
     iters = 0
     is_calc = False
+    trace = []  # per-iteration (delta_sum, det, cond), like Loop(n) prints
     while delta_sum >= th and iters < max_iters:
         poses, is_calc, delta_sum, det, cond, kept = graph_gn_iteration(
             poses, dist, bearing, orient, valid, t_now, gain, dir_sigma,
             orient_sigma, anchor)
+        trace.append((delta_sum, det, cond))
         iters += 1
-    return poses, is_calc, delta_sum, iters
+    return poses, is_calc, delta_sum, iters, trace

@@ -11,6 +11,12 @@ import jax
 
 from tpuslam.filters import EkfConfig, PfConfig, ekf_rollout, pf_rollout
 
+# Goldens generated on the CPU backend (jax 0.9.0, f32); regenerate with
+# print(repr(_digest(...))) if a deliberate numeric change lands.
+PF_GOLDEN = [4.986, 3.183, 9.987, 2.469]
+PF_FUSED_GOLDEN = [4.456, 3.823, 10.0, 1.92]
+GRAPH_GOLDEN = [2.847, 5.04, 10.0, 0.47]
+
 
 def _digest(arr, decimals=3):
     """Drift-tolerant digest: rounded mean/std/first/last."""
@@ -48,3 +54,48 @@ class TestGolden:
         _, b = f(jax.random.key(5))
         np.testing.assert_array_equal(np.asarray(a.x_est),
                                       np.asarray(b.x_est))
+
+    def test_pf_golden(self):
+        cfg = PfConfig(num_particles=200, weight_mode="log")
+        _, outs = jax.jit(lambda k: pf_rollout(cfg, k, 50))(
+            jax.random.key(1234))
+        d = _digest(outs.x_est)
+        # Golden generated on the CPU backend (jax 0.9.0, f32).
+        # Regenerate with: print(repr(_digest(outs.x_est))).
+        want = PF_GOLDEN
+        np.testing.assert_allclose(d, want, atol=2e-3)
+        assert np.all(np.abs(np.asarray(outs.x_est)[:, :2]) < 20.0)
+
+    def test_pf_fused_interpret_golden(self):
+        """Fused-kernel PF rollout, interpret mode (noise_on=False keeps
+        the kernel path liftable on CPU: pltpu.prng_* has no interpret
+        lowering).  Pins the Pallas kernel's numerics, not just XLA's."""
+        from tpuslam.ops.pf_pallas import pf_fused_rollout
+
+        cfg = PfConfig(num_particles=256, weight_mode="log")
+        _, (x_true, x_est) = jax.jit(
+            lambda k: pf_fused_rollout(cfg, k, 20, noise_on=False,
+                                       interpret=True, tile_n=256))(
+            jax.random.key(1234))
+        d = _digest(x_est)
+        want = PF_FUSED_GOLDEN
+        np.testing.assert_allclose(d, want, atol=2e-3)
+
+    def test_graph_slam_golden(self):
+        from tpuslam.slam import (GraphConfig, SlamSceneConfig,
+                                  slam_rollout)
+        from tpuslam.models.scan_sensor import ScanConfig
+        import math
+
+        cfg = GraphConfig(
+            max_times=11, num_landmarks=9,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        scene = SlamSceneConfig()
+        traj, poses_est, frames = jax.jit(
+            lambda k: slam_rollout(scene, cfg, k, 10))(jax.random.key(42))
+        d = _digest(poses_est)
+        want = GRAPH_GOLDEN
+        np.testing.assert_allclose(d, want, atol=2e-3)
+        assert bool(np.asarray(frames.is_calc).all())

@@ -94,7 +94,7 @@ class TestGnIterationParity:
     def test_full_solve_matches_oracle(self):
         cfg, scene, traj = _sim(8, seed=3)
         res = graph_solve(cfg, traj.poses_odom, traj.obs, t_now=8)
-        o_poses, o_ok, o_delta, o_iters = oracles.graph_solve(
+        o_poses, o_ok, o_delta, o_iters, o_trace = oracles.graph_solve(
             np.asarray(traj.poses_odom, np.float64),
             np.asarray(traj.obs.dist, np.float64),
             np.asarray(traj.obs.bearing, np.float64),
@@ -104,6 +104,43 @@ class TestGnIterationParity:
         assert bool(res.is_calc) == o_ok
         np.testing.assert_allclose(np.asarray(res.poses), o_poses,
                                    atol=2e-2)
+        # SURVEY.md section 4.3: matching iteration counts AND ||dx||^2
+        # trajectory given identical inputs (the reference's Loop(n)
+        # printout, graph_based_slam.py:709).
+        assert int(res.gn_iters) == o_iters
+        tr_ds = np.asarray(res.trace_delta_sum)
+        tr_det = np.asarray(res.trace_det)
+        tr_cond = np.asarray(res.trace_cond)
+        assert np.isnan(tr_ds[o_iters:]).all()
+        o_ds = np.array([t[0] for t in o_trace])
+        o_det = np.array([t[1] for t in o_trace])
+        o_cond = np.array([t[2] for t in o_trace])
+        np.testing.assert_allclose(tr_ds[:o_iters], o_ds, rtol=0.05,
+                                   atol=1e-4)
+        # det spans many orders of magnitude; compare in log space.  The
+        # f32 path saturates det at exp(+-80) (graph.py::_guards clip, to
+        # keep exp finite in float32) so compare against the clipped oracle.
+        np.testing.assert_allclose(np.log(tr_det[:o_iters]),
+                                   np.clip(np.log(o_det), -80.0, 80.0),
+                                   rtol=0.05)
+        np.testing.assert_allclose(np.log(tr_cond[:o_iters]),
+                                   np.log(o_cond), rtol=0.05)
+
+    def test_rollout_trace_consistent(self):
+        """Per-frame traces: row f has gn_iters[f] finite entries, the
+        last of which equals the frame's reported delta_sum."""
+        cfg = _demo_cfg(7)
+        scene = SlamSceneConfig()
+        traj, poses_est, frames = slam_rollout(
+            scene, cfg, jax.random.key(7), 6)
+        ds = np.asarray(frames.trace_delta_sum)  # (6, max_gn_iters)
+        iters = np.asarray(frames.gn_iters)
+        for f in range(6):
+            assert np.isfinite(ds[f, :iters[f]]).all()
+            assert np.isnan(ds[f, iters[f]:]).all()
+            np.testing.assert_allclose(ds[f, iters[f] - 1],
+                                       np.asarray(frames.delta_sum)[f],
+                                       rtol=1e-6)
 
     def test_no_pairs_no_update(self):
         """With every landmark seen at most once, nothing is calculable

@@ -107,6 +107,18 @@ def simulate(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
                           obs=obs, obs_true=obs_true)
 
 
+def observed_times_mask(obs: GraphObservations):
+    """Boolean (T1,) of times whose scan detected at least one landmark.
+
+    Parity: the reference's per-pose ``isObs`` flag — set by
+    ``Robot.__observe`` iff any landmark was in the FOV
+    (graph_based_slam.py:674-682), with pose 0 always flagged observed
+    (graph_based_slam.py:343).  ``getEstTrajPose`` draws the estimated
+    trajectory only at these times (graph_based_slam.py:441-449).
+    """
+    return jnp.any(obs.valid, axis=1).at[0].set(True)
+
+
 def slam_rollout(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
                  n_steps: int):
     """Full demo loop: simulate, then per-frame Gauss-Newton estimation.
@@ -120,16 +132,15 @@ def slam_rollout(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
         :class:`SlamTrajectory`, ``poses_est`` the final ``(T1, 3)``
         estimates, and ``frames`` a :class:`GraphSolveResult` with a
         leading per-frame axis (is_calc, gn_iters, delta_sum, det, cond
-        for every frame, as the reference prints/renders per frame).
+        for every frame, as the reference prints/renders per frame, plus
+        the ``(n_steps, max_gn_iters)`` per-iteration traces backing the
+        reference's per-loop "Loop(n)" printout).
     """
     traj = simulate(scene, graph_cfg, key, n_steps)
 
     def frame(poses_est, t):
         res = graph_solve(graph_cfg, poses_est, traj.obs, t_now=t)
-        return res.poses, GraphSolveResult(
-            poses=jnp.zeros((0,)), is_calc=res.is_calc,
-            gn_iters=res.gn_iters, delta_sum=res.delta_sum, det=res.det,
-            cond=res.cond)
+        return res.poses, res._replace(poses=jnp.zeros((0,)))
 
     poses_est, frames = jax.lax.scan(
         frame, traj.poses_odom, jnp.arange(1, n_steps + 1))

@@ -104,6 +104,13 @@ class GraphSolveResult(typing.NamedTuple):
     delta_sum: jax.Array  # final ||dx||^2
     det: jax.Array  # det(H) of the last iteration (slogdet-safe)
     cond: jax.Array  # cond(H) of the last iteration
+    #: Per-GN-iteration diagnostics, padded to ``max_gn_iters`` with NaN
+    #: past ``gn_iters``.  These reproduce the reference's per-loop
+    #: "Loop(n)" printout data (graph_based_slam.py:709) which it emits
+    #: for EVERY Gauss-Newton iteration, not just the last.
+    trace_delta_sum: jax.Array  # (max_gn_iters,)
+    trace_det: jax.Array  # (max_gn_iters,)
+    trace_cond: jax.Array  # (max_gn_iters,)
 
 
 def upper_pairs(t1: int):
@@ -398,21 +405,28 @@ def graph_solve(cfg: GraphConfig, poses_init, obs: GraphObservations,
     pair_i, pair_j = upper_pairs(t1)
 
     def cond_fn(carry):
-        _, _, delta_sum, iters, _, _ = carry
+        _, _, delta_sum, iters, _, _, _ = carry
         return (delta_sum >= cfg.delta_sum_threshold) & (
             iters < cfg.max_gn_iters)
 
     def body_fn(carry):
-        poses, _, _, iters, _, _ = carry
+        poses, _, _, iters, _, _, trace = carry
         poses, ok, delta_sum, det, cnd = gn_iteration(
             cfg, poses, obs, t_now, pair_i, pair_j)
-        return poses, ok, delta_sum, iters + 1, det, cnd
+        trace = tuple(buf.at[iters].set(v) for buf, v in
+                      zip(trace, (delta_sum, det, cnd)))
+        return poses, ok, delta_sum, iters + 1, det, cnd, trace
 
+    nan_trace = tuple(
+        jnp.full((cfg.max_gn_iters,), jnp.nan, poses_init.dtype)
+        for _ in range(3))
     init = (poses_init, jnp.asarray(False),
             jnp.asarray(cfg.delta_sum_threshold, poses_init.dtype),
             jnp.asarray(0), jnp.asarray(0.0, poses_init.dtype),
-            jnp.asarray(0.0, poses_init.dtype))
-    poses, ok, delta_sum, iters, det, cnd = jax.lax.while_loop(
+            jnp.asarray(0.0, poses_init.dtype), nan_trace)
+    poses, ok, delta_sum, iters, det, cnd, trace = jax.lax.while_loop(
         cond_fn, body_fn, init)
     return GraphSolveResult(poses=poses, is_calc=ok, gn_iters=iters,
-                            delta_sum=delta_sum, det=det, cond=cnd)
+                            delta_sum=delta_sum, det=det, cond=cnd,
+                            trace_delta_sum=trace[0], trace_det=trace[1],
+                            trace_cond=trace[2])

@@ -20,7 +20,8 @@ import argparse
 import numpy as np
 
 from tpuslam.viz.render import (draw_error_ellipse, draw_trajectory,
-                                finalize_axes, save_or_show)
+                                finalize_axes, save_animation,
+                                save_or_show)
 
 CONFIDENCE = 99.0
 
@@ -83,8 +84,7 @@ def main(argv=None):
         ani = animation.FuncAnimation(fig, frame, frames=args.frames,
                                       interval=args.period_ms, repeat=False)
         if args.save:
-            ani.save(args.save, writer="pillow", fps=10)
-            print(f"saved {args.save}")
+            save_animation(ani, args.save, fps=10)
         if args.show:
             plt.show()
     else:

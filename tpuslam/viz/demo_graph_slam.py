@@ -21,7 +21,8 @@ import numpy as np
 
 from tpuslam.viz.render import (draw_error_ellipse, draw_fov,
                                 draw_landmarks, draw_poses_quiver,
-                                finalize_axes, save_or_show)
+                                finalize_axes, save_animation,
+                                save_or_show)
 
 BASE_ANG = math.pi / 2.0
 CONFIDENCE = 99.0
@@ -44,7 +45,12 @@ def render_frame(ax1, ax2, scene, graph_cfg, traj, poses_est, frames_out,
                  t):
     lm = np.asarray(scene.landmarks)
     actu = np.asarray(traj.poses_actu[:t + 1])
-    est = np.asarray(poses_est[:t + 1])
+    # Reference getEstTrajPose (graph_based_slam.py:441-449): the estimated
+    # trajectory is drawn only at observed times (isObs flag); unobserved
+    # times hold raw odometry values the reference hides.
+    is_obs = np.asarray(traj.obs.valid[:t + 1]).any(axis=1)
+    is_obs[0] = True  # pose 0 always flagged observed (:343)
+    est = np.asarray(poses_est[:t + 1])[is_obs]
     pose = actu[-1]
     scan_cfg = graph_cfg.scan
 
@@ -142,6 +148,9 @@ def main(argv=None):
     ap.add_argument("--save", type=str, default=None)
     ap.add_argument("--show", action="store_true")
     ap.add_argument("--animate", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print the reference's per-GN-iteration Loop(n) "
+                         "lines (graph_based_slam.py:709) for every frame")
     args = ap.parse_args(argv)
 
     import jax
@@ -165,6 +174,18 @@ def main(argv=None):
     traj, poses_est, frames_out = jax.device_get(
         (traj, poses_est, frames_out))
 
+    if args.verbose:
+        # Reference per-GN-iteration printout (graph_based_slam.py:709):
+        # one "Loop(n)" line per Gauss-Newton iteration of every frame.
+        for f in range(args.frames):
+            print(f"Frame {f + 1}:")
+            n_it = int(frames_out.gn_iters[f])
+            for i in range(n_it):
+                print(" Loop(%d): ||dx||^2 = %s, det = %s, cond = %s"
+                      % (i + 1, frames_out.trace_delta_sum[f, i],
+                         frames_out.trace_det[f, i],
+                         frames_out.trace_cond[f, i]))
+
     fig = plt.figure(figsize=(18, 9))
     ax1 = fig.add_subplot(1, 2, 1, aspect="equal")
     ax2 = fig.add_subplot(1, 2, 2, aspect="equal")
@@ -180,8 +201,7 @@ def main(argv=None):
         ani = animation.FuncAnimation(fig, frame, frames=args.frames + 1,
                                       interval=2000, repeat=False)
         if args.save:
-            ani.save(args.save, writer="pillow", fps=1)
-            print(f"saved {args.save}")
+            save_animation(ani, args.save, fps=1)
         if args.show:
             plt.show()
     else:

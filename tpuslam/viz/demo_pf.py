@@ -19,7 +19,8 @@ import numpy as np
 
 from tpuslam.viz.render import (draw_landmarks, draw_particles,
                                 draw_trajectory, ellipse_params,
-                                finalize_axes, save_or_show)
+                                finalize_axes, save_animation,
+                                save_or_show)
 
 
 def render_frame(ax1, ax2, cfg, outs, upto):
@@ -102,8 +103,7 @@ def main(argv=None):
         ani = animation.FuncAnimation(fig, frame, frames=args.frames,
                                       interval=args.period_ms, repeat=False)
         if args.save:
-            ani.save(args.save, writer="pillow", fps=10)
-            print(f"saved {args.save}")
+            save_animation(ani, args.save, fps=10)
         if args.show:
             plt.show()
     else:

@@ -143,3 +143,24 @@ def save_or_show(fig, save: str | None, show: bool):
         plt.show()
     else:
         plt.close(fig)
+
+
+def save_animation(ani, path: str, fps: int):
+    """Save an animation, picking the writer from the file extension.
+
+    ``.mp4`` uses the ffmpeg writer — parity with the reference's
+    documented mp4 export (/root/reference/README.md:65-79 and the
+    commented ``anime.save('*.mp4')`` calls, e.g.
+    extended_kalman_filter.py:289) — anything else uses pillow (gif).
+    """
+    if path.endswith(".mp4"):
+        from matplotlib import animation
+
+        if not animation.FFMpegWriter.isAvailable():
+            raise RuntimeError(
+                "mp4 export needs ffmpeg on PATH (see the reference "
+                "README's ffmpeg setup); use a .gif path for pillow")
+        ani.save(path, writer="ffmpeg", fps=fps)
+    else:
+        ani.save(path, writer="pillow", fps=fps)
+    print(f"saved {path}")
