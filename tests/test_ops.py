@@ -355,6 +355,28 @@ class TestMergeResampleKernel:
         ref = self._oracle(key, p, w_row, n)
         assert bool(jnp.all(out == ref))
 
+    @pytest.mark.parametrize("n,n_pad,scale", [
+        (1000, 1024, 8.0),
+        (5000, 8192, 0.1),
+    ])
+    def test_fused_boundary_equals_unfused(self, rng, n, n_pad, scale):
+        """The in-kernel boundary build (fused=True) is bit-identical to
+        the XLA boundary build (fused=False) - the exact-integer tiled
+        prefix must reproduce the global quantized_cum decision for
+        every lane."""
+        from tpuslam.ops import merge_resample_rows
+
+        w_row = self._weights(rng, n, n_pad, scale)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(n + 1)
+        a = merge_resample_rows(key, p, w_row, n, t_in=1024, t_k=1024,
+                                t_out=1024, w_b=3, interpret=True,
+                                fused=True)
+        b = merge_resample_rows(key, p, w_row, n, t_in=1024, t_k=1024,
+                                t_out=1024, w_b=3, interpret=True,
+                                fused=False)
+        assert bool(jnp.all(a == b))
+
     def test_fused_step_merge_equals_hist(self, rng):
         """pf_fused_step_stats with resample_method="merge" is
         bit-identical to "hist" on the resample branch (noise-free)."""

@@ -338,6 +338,153 @@ def expand_compacted(tc15, sb, span, blk_ids, i0, n_out_pad: int,
     )(sb, span, blk_ids, i0, tc15)
 
 
+def _strict_lt(t_in: int, dtype=jnp.bfloat16):
+    """(t_in, t_in) strict lower-triangular ones: M[r, c] = (r < c)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (t_in, t_in), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (t_in, t_in), 1)
+    return (r < c).astype(dtype)
+
+
+def _boundary_compact_kernel(base_ref, par_ref, p_ref, wq_ref, out_ref,
+                             cnt_ref, *, t_k: int, n: int):
+    """Fused pass 1: in-tile boundary build + survivor compaction.
+
+    Replaces the XLA glue of the unfused path (global ``quantized_cum``
+    cumsum over all lanes, boundary/flag/rank tensors, 15-row bf16 split
+    stack - together ~1.6 ms/firing-step at 1M particles on v5e) with
+    in-tile work: the only XLA prerequisites are the quantized integer
+    weights ``wq`` (one fused elementwise pass) and the ``nt_in``-length
+    exclusive prefix of their per-tile sums.
+
+    Exactness: ``wq`` are integers with total < 2**24, so every partial
+    sum is exact in f32 in any order.  The in-tile cumsum runs as a
+    strict-lower-triangular matmul over exact 3-way bf16 splits (all
+    split parts of integers are integers, products with a 0/1 matrix are
+    exact, the f32 accumulator sums integers exactly), so
+    ``base + in-tile cumsum`` reproduces the global cumsum bit-for-bit.
+    The boundary law ``t = ceil(n * (cum / q_tot) - offs)`` is the same
+    f32 expression the XLA hist decode evaluates on the same exact
+    integers -> identical selection (the batch kernel relies on the same
+    Mosaic/XLA agreement, ops/pf_batch_pallas.py:178).
+
+    Outputs: the compacted ``(15, t_k)`` bf16 block (same layout and
+    inert-fill convention as :func:`_compact_kernel`) and the tile's
+    survivor count (SMEM scalar, feeds the skip table + cap predicate).
+    """
+    t_in = wq_ref.shape[1]
+    b = pl.program_id(0)
+    q_tot = par_ref[0]
+    offs = par_ref[1]
+    base = base_ref[b]
+
+    wq = wq_ref[0:1, :]  # (1, t_in) f32, exact ints
+    wh, wm, wl = split3(wq)
+    lt = _strict_lt(t_in)
+    # Prefix orientation: contracting against M's FIRST axis gives
+    # out[c] = sum_r v[r] * (r < c) - the strict (exclusive) prefix.
+    cum_ex = jax.lax.dot_general(
+        jnp.concatenate([wh, wm, wl], axis=0), lt,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    cum_ex = (cum_ex[0:1] + cum_ex[1:2] + cum_ex[2:3]) + base  # (1, t_in)
+    cum_in = cum_ex + wq  # inclusive prefix, exact
+
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (1, t_in), 1)
+            + b * t_in)  # global lane ids
+    nf = jnp.float32(n)
+
+    def bound(cum, force_ge):
+        t = jnp.ceil(nf * (cum / q_tot) - offs)
+        t = jnp.clip(t, 0.0, nf)
+        return jnp.where(lane >= force_ge, nf, t)
+
+    t_hi = bound(cum_in, n - 1)  # slot_boundaries forcing: t[n-1] = n
+    t_lo = bound(cum_ex, n)  # previous lane's t_hi, incl. its forcing
+
+    f = (t_hi > t_lo).astype(jnp.float32)  # (1, t_in) 0/1
+    rank = jax.lax.dot_general(
+        f.astype(jnp.bfloat16), lt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # exclusive survivor rank
+    cnt = rank[0, t_in - 1] + f[0, t_in - 1]
+    cnt_ref[0, 0] = cnt.astype(jnp.int32)
+
+    krow = jax.lax.broadcasted_iota(jnp.float32, (t_k, t_in), 0)
+    sel = ((krow == rank) & (f > 0)).astype(jnp.bfloat16)
+
+    # Value stack built in-kernel: [x y yaw t_hi t_lo] x [hi mid lo].
+    stack5 = jnp.concatenate([p_ref[:, :], t_hi, t_lo], axis=0)
+    hml = split3(stack5)  # 3 x (5, t_in) bf16
+    vals = jnp.stack(hml, axis=1).reshape(_ROWS, t_in)
+    compact = jax.lax.dot_general(
+        vals, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (15, t_k) f32, exact
+    kcol = jax.lax.broadcasted_iota(jnp.float32, (1, t_k), 1)
+    live = kcol < cnt
+    fill_src = vals[:, t_in - 1:t_in]  # (15, 1) last input lane
+    fill = jnp.concatenate([fill_src[0:12], fill_src[9:12]], axis=0)
+    out_ref[:, :] = jnp.where(live, compact.astype(jnp.bfloat16), fill)
+
+
+def quantize_weights(w_row, n: int, t_in: int):
+    """XLA prerequisites of the fused pass 1 (the only O(N) XLA work).
+
+    Quantizes weights exactly as :func:`tpuslam.filters.pf.quantized_cum`
+    (same scale expression -> same integers) but WITHOUT the global
+    cumsum: returns the ``(1, n_pad)`` integer weights, the
+    ``(nt_in,)`` exclusive prefix of their per-tile sums, and the exact
+    total.  All sums of integers < 2**24 are order-independent in f32,
+    so ``base[j] + in-tile prefix`` equals the global cumsum exactly.
+    """
+    n_pad = w_row.shape[1]
+    total_w = jnp.sum(w_row, axis=-1, keepdims=True)
+    wq = jnp.round(w_row * (float(1 << 20) / total_w))
+    tile_sums = wq.reshape(n_pad // t_in, t_in).sum(axis=-1)
+    cum_tiles = jnp.cumsum(tile_sums)
+    base = cum_tiles - tile_sums  # exclusive
+    return wq, base, cum_tiles[-1]
+
+
+def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
+                               t_k: int, interpret: bool = False):
+    """Fused pass-1 call: quantize (XLA) + boundary/compact (kernel).
+
+    Selection is bit-identical to :func:`boundary_decode` +
+    :func:`compact_particles`; returns ``(tc, cnt)`` where ``tc`` is the
+    ``(15, (n_pad // t_in) * t_k)`` bf16 compacted stack and ``cnt`` the
+    ``(nt_in,)`` int32 per-tile survivor counts.
+    """
+    n_pad = p_rows.shape[1]
+    nt_in = n_pad // t_in
+    wq, base, q_tot = quantize_weights(w_row, n, t_in)
+    params = jnp.stack([q_tot.astype(jnp.float32),
+                        offs.astype(jnp.float32)])
+    tc, cnt = pl.pallas_call(
+        functools.partial(_boundary_compact_kernel, t_k=t_k, n=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt_in,),
+            in_specs=[
+                pl.BlockSpec((3, t_in), lambda b, base, par: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t_in), lambda b, base, par: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_ROWS, t_k), lambda b, base, par: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b, base, par: (0, b),
+                             memory_space=pltpu.SMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((_ROWS, nt_in * t_k), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, nt_in), jnp.int32),
+        ],
+        interpret=interpret,
+    )(base.astype(jnp.float32), params, p_rows.astype(jnp.float32), wq)
+    return tc, cnt[0]
+
+
 def _pick_tile(n_pad: int, want: int) -> int:
     t = min(want, n_pad)
     while n_pad % t:
@@ -387,10 +534,10 @@ def boundary_decode(w_row, n: int, offs, t_in: int, t_k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_in", "t_k", "t_out",
-                                             "w_b", "interpret"))
+                                             "w_b", "interpret", "fused"))
 def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
                         t_k: int = 256, t_out: int = 2048, w_b: int = 12,
-                        interpret: bool = False):
+                        interpret: bool = False, fused: bool = True):
     """Systematic resample of row-major particles, merge-kernel fast path.
 
     Drop-in replacement for the ``hist``-method index build + gather on
@@ -409,6 +556,11 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
         t_out / w_b: output tile lanes / compressed window blocks per
             output tile (pass-2 static cap on the survivor span).
         interpret: run kernels in interpret mode (CPU tests).
+        fused: build boundaries inside the pass-1 kernel
+            (:func:`boundary_compact_particles`) instead of in XLA -
+            identical selection, no O(N) cumsums or split-stack
+            materialization outside the kernel.  False keeps the
+            original XLA boundary build (A/B parity testing).
 
     Returns:
         ``(3, n_pad)`` resampled particles, padding lanes zero.
@@ -420,17 +572,23 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
     t_in, t_k, t_out, w_b, wb2 = merge_caps(n_pad, t_in, t_k, t_out, w_b)
 
     offs = jax.random.uniform(key, dtype=jnp.float32)
-    t_row, tprev, f_row, g_row, cnt, ok_compact = boundary_decode(
-        w_row, n, offs, t_in, t_k)
 
     def xla_path(_):
+        t_row = slot_boundaries(w_row, n, offs)
         idx = decode_indices(t_row, n)
         return jnp.zeros_like(p_rows).at[:, :n].set(p_rows[:, :n][:, idx])
 
     # Pass 1 runs unconditionally (cheap vs the gather it replaces; its
     # output is discarded on fallback).
-    bc = compact_particles(p_rows, t_row, tprev, f_row, g_row, t_in,
-                           t_k, interpret)
+    if fused:
+        bc, cnt = boundary_compact_particles(p_rows, w_row, n, offs,
+                                             t_in, t_k, interpret)
+        ok_compact = jnp.max(cnt) <= t_k
+    else:
+        t_row, tprev, f_row, g_row, cnt, ok_compact = boundary_decode(
+            w_row, n, offs, t_in, t_k)
+        bc = compact_particles(p_rows, t_row, tprev, f_row, g_row, t_in,
+                               t_k, interpret)
     tc15 = jnp.concatenate([bc, inert_tail(n, w_b, wb2)], axis=1)
 
     nt_out = n_pad // t_out
