@@ -452,6 +452,39 @@ class TestCyclicReductionSolver:
                                    np.asarray(r_td.poses), atol=2e-2)
 
 
+class TestFlatCr:
+    """Flat-layout cyclic reduction vs the (D, T1, 3, 3) original (the
+    flat path is now the production CR route; same scaling rationale as
+    TestFlatTridiag)."""
+
+    @pytest.mark.parametrize("t1,band,s", [(48, 4, 8), (60, 3, 4),
+                                           (40, 5, None), (23, 4, None)])
+    def test_matches_band_cr(self, rng, t1, band, s):
+        from tpuslam.slam.cyclic import banded_solve_cr, banded_solve_cr_flat
+
+        d1 = band + 1
+        h_flat = np.zeros((d1 * 9, t1), np.float32)
+        for d in range(d1):
+            blkv = rng.normal(size=(t1, 3, 3)).astype(np.float32) * 0.3
+            if d == 0:
+                blkv = 0.5 * (blkv + blkv.transpose(0, 2, 1))
+                blkv += np.eye(3, dtype=np.float32)[None] * (band + 4.0)
+            for a in range(3):
+                for b_ in range(3):
+                    h_flat[d * 9 + 3 * a + b_, :] = blkv[:, a, b_]
+            if d:
+                h_flat[d * 9:(d + 1) * 9, t1 - d:] = 0.0
+        b3 = rng.normal(size=(3, t1)).astype(np.float32)
+        h_flat = jnp.asarray(h_flat)
+        b3 = jnp.asarray(b3)
+        h_band = jnp.transpose(h_flat.reshape(d1, 9, t1),
+                               (0, 2, 1)).reshape(d1, t1, 3, 3)
+        x_band = banded_solve_cr(h_band, b3.T, super_size=s)
+        x_flat = banded_solve_cr_flat(h_flat, b3, band, super_size=s)
+        np.testing.assert_allclose(np.asarray(x_flat), np.asarray(x_band),
+                                   rtol=2e-4, atol=2e-5)
+
+
 class TestDamping:
     def test_damped_reference_formulation_stays_bounded(self):
         """The reference-compatible formulation (inconsistent Jacobians +

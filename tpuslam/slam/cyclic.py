@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from tpuslam.core.precision import highest_matmul_precision
-from tpuslam.slam.tridiag import band_to_tridiag, jacobi_prescale, pad_band
+from tpuslam.slam.tridiag import (_flat_prescale, _flat_to_tridiag,
+                                  band_to_tridiag, flat_rows_to_super,
+                                  jacobi_prescale, pad_band, pad_flat,
+                                  super_rows_to_flat)
 
 
 def _cho_solve_batch(d, y):
@@ -125,6 +128,79 @@ def block_cr_solve(diag, upper, b):
     return x
 
 
+def _pick_super_size(band: int, t1: int) -> int:
+    """CR super-block size heuristic (shared by both layouts).
+
+    Pick S in [band, 2*band] minimizing power-of-two padding, but
+    REQUIRE the dense block dim 3S to fit one MXU tile (<= 128) when
+    possible: measured at T1=100k, a zero-padding S=49 (3S=147,
+    straddles tiles) ran 10x slower than S=40 (3S=120) despite 64% more
+    padded rows - layout beats row count.
+    """
+    base = max(band, 1)
+
+    def waste(s_try):
+        n_try = -(-t1 // s_try)
+        n2 = 1 << max(n_try - 1, 0).bit_length()
+        return n2 * s_try - t1
+
+    cands = list(range(base, 2 * base + 1))
+    tile_friendly = [s for s in cands if 3 * s <= 128]
+    return min(tile_friendly or cands, key=waste)
+
+
+def _pad_super_pow2(diag, upper, b_sup):
+    """Pad the super-block count to a power of two with decoupled
+    identity blocks directly in dense ``(N, 3S, 3S)`` space (their
+    solution is exactly 0 for the zero RHS padding)."""
+    n, s3 = diag.shape[0], diag.shape[1]
+    n2 = 1 << max(n - 1, 0).bit_length()
+    if n2 == n:
+        return diag, upper, b_sup
+    eye_tail = jnp.tile(jnp.eye(s3, dtype=diag.dtype)[None],
+                        (n2 - n, 1, 1))
+    diag = jnp.concatenate([diag, eye_tail], axis=0)
+    upper = jnp.concatenate(
+        [upper, jnp.zeros((n2 - n, s3, s3), diag.dtype)], axis=0)
+    b_sup = jnp.concatenate(
+        [b_sup, jnp.zeros((n2 - n, s3), b_sup.dtype)], axis=0)
+    return diag, upper, b_sup
+
+
+def banded_solve_cr_flat(h_flat, b_flat, band: int,
+                         super_size: int | None = None):
+    """Flat-layout twin of :func:`banded_solve_cr`.
+
+    Same math (pad + Jacobi prescale + super-block cyclic reduction),
+    but the band-to-super-block densification runs on the flat
+    ``((band+1)*9, T1)`` entry layout (:func:`tpuslam.slam.tridiag.\
+_flat_to_tridiag`), so no intermediate carries trailing (3, 3) dims
+    whose tile-padded layouts OOM beyond ~150k poses.  The power-of-two
+    super-block padding CR needs is applied in dense ``(N, 3S, 3S)``
+    space AFTER densification (identity diagonal blocks decouple
+    exactly), so the padded region never touches the flat pipeline.
+    """
+    t1 = h_flat.shape[1]
+    if super_size is None:
+        super_size = _pick_super_size(band, t1)
+    h_flat, b_flat = pad_flat(h_flat, b_flat, super_size)
+
+    with jax.default_matmul_precision("highest"):
+        h_s, b_s, s = _flat_prescale(h_flat, b_flat, band)
+        diag, upper = _flat_to_tridiag(h_s, band, super_size)
+        b_sup = flat_rows_to_super(b_s, super_size)
+        # upper must have N entries (last = 0) before pow2 padding so
+        # the padded blocks stay decoupled.
+        s3 = diag.shape[1]
+        upper_n = jnp.concatenate(
+            [upper, jnp.zeros((1, s3, s3), diag.dtype)], axis=0)
+        diag, upper_n, b_sup = _pad_super_pow2(diag, upper_n, b_sup)
+        x = block_cr_solve(diag, upper_n[:-1], b_sup)
+        x3 = super_rows_to_flat(x[:b_s.shape[1] // super_size],
+                                super_size) * s
+    return x3.T[:t1]
+
+
 @highest_matmul_precision
 def banded_solve_cr(h_band, b, super_size: int | None = None):
     """One-shot ``H x = b`` via super-block retiling + cyclic reduction.
@@ -137,22 +213,7 @@ def banded_solve_cr(h_band, b, super_size: int | None = None):
     d1, t1 = h_band.shape[0], h_band.shape[1]
     band = d1 - 1
     if super_size is None:
-        # CR pads the super-block count to a power of two.  Pick S in
-        # [band, 2*band] minimizing that padding, but REQUIRE the dense
-        # block dim 3S to fit one MXU tile (<= 128) when possible:
-        # measured at T1=100k, a zero-padding S=49 (3S=147, straddles
-        # tiles) ran 10x slower than S=40 (3S=120) despite 64% more
-        # padded rows - layout beats row count.
-        base = max(band, 1)
-
-        def waste(s_try):
-            n_try = -(-t1 // s_try)
-            n2 = 1 << max(n_try - 1, 0).bit_length()
-            return n2 * s_try - t1
-
-        cands = list(range(base, 2 * base + 1))
-        tile_friendly = [s for s in cands if 3 * s <= 128]
-        super_size = min(tile_friendly or cands, key=waste)
+        super_size = _pick_super_size(band, t1)
     h_band, b = pad_band(h_band, b, super_size)
     n = h_band.shape[1] // super_size
     n_pow2 = 1 << max(n - 1, 0).bit_length()  # next power of two

@@ -607,26 +607,25 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
 
             delta = banded_solve_tridiag_flat(h_flat, -b_flat, band)
             cg_it = jnp.asarray(0)
-            h_band = None
+        elif solver == "cr":
+            # Flat end-to-end like tridiag (the latency-optimal solver
+            # now scales past 150k too).
+            from tpuslam.slam.cyclic import banded_solve_cr_flat
+
+            delta = banded_solve_cr_flat(h_flat, -b_flat, band)
+            cg_it = jnp.asarray(0)
         else:
             h_band = jnp.transpose(
                 h_flat.reshape(band + 1, 9, t1),
                 (0, 2, 1)).reshape(band + 1, t1, 3, 3)
             bvec = b_flat.T
-        if solver in ("tridiag",):
-            pass
-        elif solver == "cholesky":
-            from tpuslam.slam.cholesky import banded_solve_direct
+            if solver == "cholesky":
+                from tpuslam.slam.cholesky import banded_solve_direct
 
-            delta = banded_solve_direct(h_band, -bvec)
-            cg_it = jnp.asarray(0)
-        elif solver == "cr":
-            from tpuslam.slam.cyclic import banded_solve_cr
-
-            delta = banded_solve_cr(h_band, -bvec)
-            cg_it = jnp.asarray(0)
-        else:
-            delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
+                delta = banded_solve_direct(h_band, -bvec)
+                cg_it = jnp.asarray(0)
+            else:
+                delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
         delta = delta * kept[:, None]
         poses = poses + delta
         poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))

@@ -282,6 +282,49 @@ def _flat_to_tridiag(h_flat, band: int, super_size: int):
     return diag, upper[:-1]
 
 
+def pad_flat(h_flat, b_flat, multiple: int):
+    """Flat-layout twin of :func:`pad_band`: pad the trajectory axis to
+    a multiple with decoupled identity scalar blocks."""
+    t1 = h_flat.shape[1]
+    pad = (-t1) % multiple
+    if pad:
+        h_flat = jnp.pad(h_flat, ((0, 0), (0, pad)))
+        for k in (0, 4, 8):
+            h_flat = h_flat.at[k, t1:].set(1.0)
+        b_flat = jnp.pad(b_flat, ((0, 0), (0, pad)))
+    return h_flat, b_flat
+
+
+def _row_interleave_hot(super_size: int, dtype):
+    """(3, 3S, S) one-hot: scalar row p = 3s + a of a super-block from
+    phase row a, block-row s.  A (T1, 3)-shaped transpose would tile-pad
+    3 -> 128 at scale; the one-hot matmul keeps layouts clean and is
+    exact (one term per output scalar)."""
+    s_i = jnp.arange(super_size)
+    j_i = jnp.arange(3 * super_size)
+    return jnp.stack([
+        (j_i[:, None] == (3 * s_i + a)[None, :]).astype(dtype)
+        for a in range(3)])
+
+
+def flat_rows_to_super(b_s, super_size: int):
+    """Interleave ``(3, T1)`` phase rows into ``(N, 3S)`` scalar order."""
+    n = b_s.shape[1] // super_size
+    r_hot = _row_interleave_hot(super_size, b_s.dtype)
+    b_blk = b_s.reshape(3, n, super_size)
+    return jnp.einsum("aps,aks->kp", r_hot, b_blk,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def super_rows_to_flat(x, super_size: int):
+    """Inverse of :func:`flat_rows_to_super`: ``(N, 3S)`` -> ``(3, T1)``."""
+    n = x.shape[0]
+    r_hot = _row_interleave_hot(super_size, x.dtype)
+    x3 = jnp.einsum("aps,kp->aks", r_hot, x,
+                    precision=jax.lax.Precision.HIGHEST)
+    return x3.reshape(3, n * super_size)
+
+
 def banded_solve_tridiag_flat(h_flat, b_flat, band: int,
                               super_size: int | None = None):
     """Flat-layout twin of :func:`banded_solve_tridiag`.
@@ -290,38 +333,18 @@ def banded_solve_tridiag_flat(h_flat, b_flat, band: int,
     intermediate keeps the trajectory axis minor: scales to 1M+ poses
     where the (D, T1, 3, 3) pipeline OOMs on tile-padded layouts.
     """
-    d1 = band + 1
     t1 = h_flat.shape[1]
     if super_size is None:
         super_size = max(band, 1)
-    pad = (-t1) % super_size
-    if pad:
-        h_flat = jnp.pad(h_flat, ((0, 0), (0, pad)))
-        for k in (0, 4, 8):
-            h_flat = h_flat.at[k, t1:].set(1.0)
-        b_flat = jnp.pad(b_flat, ((0, 0), (0, pad)))
+    h_flat, b_flat = pad_flat(h_flat, b_flat, super_size)
     t_pad = h_flat.shape[1]
-    n = t_pad // super_size
 
     with jax.default_matmul_precision("highest"):
         h_s, b_s, s = _flat_prescale(h_flat, b_flat, band)
         diag, upper = _flat_to_tridiag(h_s, band, super_size)
-        # Interleave b rows (3, T1) -> (N, 3S) scalar order via a
-        # one-hot matmul (a (T1, 3)-shaped transpose would tile-pad
-        # 3 -> 128 at scale).
-        s3 = 3 * super_size
-        s_i = jnp.arange(super_size)
-        j_i = jnp.arange(s3)
-        r_hot = jnp.stack([
-            (j_i[:, None] == (3 * s_i + a)[None, :]).astype(b_s.dtype)
-            for a in range(3)])  # (3, 3S, S)
-        b_blk = b_s.reshape(3, n, super_size)
-        b_sup = jnp.einsum("aps,aks->kp", r_hot, b_blk,
-                           precision=jax.lax.Precision.HIGHEST)
+        b_sup = flat_rows_to_super(b_s, super_size)
         x = block_thomas_solve(diag, upper, b_sup)
-        x3 = jnp.einsum("aps,kp->aks", r_hot, x,
-                        precision=jax.lax.Precision.HIGHEST)
-        x3 = x3.reshape(3, t_pad) * s
+        x3 = super_rows_to_flat(x, super_size) * s
     return x3.T[:t1]
 
 
