@@ -428,3 +428,114 @@ class TestShardedFusedEkf:
             float(rmse),
             float(np.sqrt(np.asarray(e1).mean() / 12)), atol=1e-6)
         assert final.x_hat.shape == (32, 3)
+
+
+class TestShardedTridiag:
+    """Pose-sharded substructured block Thomas
+    (parallel/tridiag_shard.py) vs the single-device flat solver."""
+
+    @staticmethod
+    def _flat_system(rng, t1, band):
+        d1 = band + 1
+        h_flat = np.zeros((d1 * 9, t1), np.float32)
+        for d in range(d1):
+            blkv = rng.normal(size=(t1, 3, 3)).astype(np.float32) * 0.3
+            if d == 0:
+                blkv = 0.5 * (blkv + blkv.transpose(0, 2, 1))
+                blkv += np.eye(3, dtype=np.float32)[None] * (band + 4.0)
+            for a in range(3):
+                for b_ in range(3):
+                    h_flat[d * 9 + 3 * a + b_, :] = blkv[:, a, b_]
+            if d:
+                h_flat[d * 9:(d + 1) * 9, t1 - d:] = 0.0
+        b3 = rng.normal(size=(3, t1)).astype(np.float32)
+        return jnp.asarray(h_flat), jnp.asarray(b3)
+
+    @pytest.mark.parametrize("t1,band,s", [(128, 4, 8), (200, 3, 5),
+                                           (97, 5, None)])
+    def test_matches_single_device(self, rng, t1, band, s):
+        from tpuslam.parallel import make_mesh
+        from tpuslam.parallel.tridiag_shard import (
+            sharded_banded_solve_tridiag_flat)
+        from tpuslam.slam.tridiag import banded_solve_tridiag_flat
+
+        h_flat, b3 = self._flat_system(rng, t1, band)
+        mesh = make_mesh()
+        x_s = jax.jit(lambda h, b: sharded_banded_solve_tridiag_flat(
+            mesh, h, b, band, super_size=s))(h_flat, b3)
+        x_1 = banded_solve_tridiag_flat(h_flat, b3, band, super_size=s)
+        np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_1),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_single_device_mesh(self, rng):
+        from tpuslam.parallel import make_mesh
+        from tpuslam.parallel.tridiag_shard import (
+            sharded_banded_solve_tridiag_flat)
+        from tpuslam.slam.tridiag import banded_solve_tridiag_flat
+
+        h_flat, b3 = self._flat_system(rng, 64, 4)
+        mesh = make_mesh(n_rollout=1)
+        x_s = jax.jit(lambda h, b: sharded_banded_solve_tridiag_flat(
+            mesh, h, b, 4))(h_flat, b3)
+        x_1 = banded_solve_tridiag_flat(h_flat, b3, 4)
+        np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_1),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_residual_small(self, rng):
+        """H x ~= b through a dense reconstruction."""
+        from tpuslam.parallel import make_mesh
+        from tpuslam.parallel.tridiag_shard import (
+            sharded_banded_solve_tridiag_flat)
+
+        t1, band = 96, 3
+        h_flat, b3 = self._flat_system(rng, t1, band)
+        mesh = make_mesh()
+        x = np.asarray(jax.jit(
+            lambda h, b: sharded_banded_solve_tridiag_flat(
+                mesh, h, b, band))(h_flat, b3))
+        hf = np.asarray(h_flat)
+        a = np.zeros((3 * t1, 3 * t1))
+        for d in range(band + 1):
+            for aa in range(3):
+                for bb in range(3):
+                    row = hf[d * 9 + 3 * aa + bb]
+                    for i in range(t1 - d):
+                        a[3 * i + aa, 3 * (i + d) + bb] = row[i]
+                        if d or bb > aa:
+                            a[3 * (i + d) + bb, 3 * i + aa] = row[i]
+        r = a @ x.ravel() - np.asarray(b3).T.ravel()
+        assert np.abs(r).max() < 1e-2 * max(1.0, np.abs(b3).max())
+
+    def test_gn_iteration_sharded_tridiag(self):
+        """Edge-sharded flat assembly + pose-sharded direct Thomas ==
+        the replicated-CG iteration (same system, tight CG tol)."""
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, make_large_scene,
+                                  window_pairs)
+        from tpuslam.parallel import make_mesh, sharded_gn_iteration
+
+        t1 = 128  # 8 devices x 2 super-blocks of 8
+        cfg = GraphConfig(
+            max_times=t1, num_landmarks=12, exact_jacobians=True,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        pt, po, obs = make_large_scene(cfg, jax.random.key(9), t1, 12,
+                                       radius=25.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=8)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        mesh = make_mesh()
+        kw = dict(rel_odom=rel_odom)
+        p_rep, d_rep, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh, p, obs, el, 8,
+                                           solver="cg", cg_tol=1e-10,
+                                           **kw))(po)
+        p_shd, d_shd, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh, p, obs, el, 8,
+                                           solver="sharded_tridiag",
+                                           **kw))(po)
+        np.testing.assert_allclose(np.asarray(p_shd), np.asarray(p_rep),
+                                   rtol=2e-4, atol=5e-3)

@@ -23,7 +23,8 @@ from tpuslam.core.precision import highest_matmul_precision
 from tpuslam.parallel.mesh import ROLLOUT_AXIS
 from tpuslam.slam.graph import GraphConfig, GraphObservations
 from tpuslam.slam.large import (EdgeList, add_odometry_chain,
-                                assemble_banded, build_edge_blocks,
+                                add_odometry_chain_flat, assemble_banded,
+                                assemble_banded_flat, build_edge_blocks,
                                 cg_solve)
 
 
@@ -59,9 +60,14 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
         solver: ``"cg"`` solves replicated (every device runs the whole
             CG); ``"sharded_cg"`` solves pose-sharded over the SAME mesh
             axis (each device iterates on its block rows with ICI halo
-            exchange, :mod:`tpuslam.parallel.banded_shard`) - both
-            assembly and solve then scale with devices.  Requires
-            ``n_dev | T1`` and shards at least ``band`` rows wide.
+            exchange, :mod:`tpuslam.parallel.banded_shard`);
+            ``"sharded_tridiag"`` solves pose-sharded with the PRODUCTION
+            direct solver (substructured super-block Thomas,
+            :mod:`tpuslam.parallel.tridiag_shard`) - assembly stays on
+            the flat entry layout end-to-end, so this is the path that
+            scales to very long trajectories.  Requires ``n_dev | T1``;
+            CG shards at least ``band`` rows wide, tridiag at least two
+            ``band``-sized super-blocks.
 
     Returns ``(new_poses, delta_sum, cg_iters)`` (replicated).
     """
@@ -74,11 +80,69 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             raise ValueError(
                 f"shard rows {t1 // n_dev} < band {band}: halo would "
                 f"span more than one neighbor")
+    if solver == "sharded_tridiag":
+        super_size = max(band, 1)
+        if t1 % (n_dev * super_size) or t1 // (n_dev * super_size) < 2:
+            raise ValueError(
+                f"T1={t1} must give each of {n_dev} devices >= 2 "
+                f"super-blocks of {super_size} poses")
     edges = pad_edges(edges, n_dev)
 
     def local(poses, t_b, t_a, lm, valid):
         el = EdgeList(t_b, t_a, lm, valid)
         blocks = build_edge_blocks(cfg, poses, obs, el)
+        if solver == "sharded_tridiag":
+            # Flat entry layout end-to-end (no (.., 3, 3)-trailing
+            # intermediates; see tpuslam.slam.tridiag module docstring).
+            h_flat, b_flat, kept = assemble_banded_flat(
+                cfg, blocks, el, t1, band)
+            # Remove per-shard anchor/padding before the reduction
+            # (local-visibility artifacts; re-derived globally below).
+            diag_extra = jnp.where(kept, 0.0, 1.0)
+            first_kept = jnp.argmax(kept)
+            anchor_extra = jnp.zeros((t1,), h_flat.dtype).at[
+                first_kept].set(jnp.where(jnp.any(kept), cfg.anchor, 0.0))
+            for k in (0, 4, 8):
+                h_flat = h_flat.at[k].add(-diag_extra - anchor_extra)
+
+            kept_cnt = jax.lax.psum(kept.astype(jnp.int32), ROLLOUT_AXIS)
+            h_flat = jax.lax.psum(h_flat, ROLLOUT_AXIS)
+            b_flat = jax.lax.psum(b_flat, ROLLOUT_AXIS)
+
+            kept_g = kept_cnt > 0
+            fk = jnp.argmax(kept_g)
+            ga = jnp.zeros((t1,), h_flat.dtype).at[fk].set(
+                jnp.where(jnp.any(kept_g), cfg.anchor, 0.0))
+            for k in (0, 4, 8):
+                h_flat = h_flat.at[k].add(
+                    jnp.where(kept_g, 0.0, 1.0) + ga)
+
+            if rel_odom is not None:
+                h_flat, b_flat = add_odometry_chain_flat(
+                    h_flat, b_flat, poses, rel_odom, odom_info)
+                kept_g = jnp.ones_like(kept_g)
+
+            from tpuslam.parallel.tridiag_shard import (
+                sharded_tridiag_local)
+
+            ell = t1 // n_dev
+            col0 = jax.lax.axis_index(ROLLOUT_AXIS) * ell
+            h_loc = jax.lax.dynamic_slice_in_dim(h_flat, col0, ell,
+                                                 axis=1)
+            b_loc = jax.lax.dynamic_slice_in_dim(-b_flat, col0, ell,
+                                                 axis=1)
+            x3_loc = sharded_tridiag_local(h_loc, b_loc, band,
+                                           super_size, ROLLOUT_AXIS,
+                                           n_dev)
+            delta = jax.lax.all_gather(
+                x3_loc, ROLLOUT_AXIS, axis=1, tiled=True).T
+            cg_it = jnp.asarray(0)
+            delta = delta * kept_g[:, None]
+            new_poses = poses + delta
+            new_poses = new_poses.at[:, 2].set(
+                wrap_angle(new_poses[:, 2]))
+            return new_poses, jnp.sum(delta * delta), cg_it
+
         h_band, bvec, kept = assemble_banded(cfg, blocks, el, t1, band)
         # Remove the per-shard anchor/padding before the global reduction:
         # assemble_banded added them from LOCAL visibility; re-derive them

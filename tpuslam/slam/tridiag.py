@@ -109,10 +109,14 @@ def block_thomas_solve(diag, upper, b):
     inverse, then back substitution; both are ``lax.scan`` of length N.
 
     Args:
-        diag: ``(N, M, M)``; upper: ``(N-1, M, M)``; b: ``(N, M)``.
+        diag: ``(N, M, M)``; upper: ``(N-1, M, M)``; b: ``(N, M)`` - or
+            ``(N, K, M)`` for K independent right-hand sides (row
+            convention: row r of block k is rhs r's block-k segment;
+            used by the pose-sharded substructured solver to push the
+            interface coupling columns through one factorization).
 
     Returns:
-        ``(N, M)`` solution.
+        ``(N, M)`` solution (or ``(N, K, M)`` matching the rhs rank).
     """
     n, m = diag.shape[0], diag.shape[1]
     up = jnp.concatenate([upper, jnp.zeros((1, m, m), diag.dtype)], axis=0)
@@ -131,7 +135,9 @@ def block_thomas_solve(diag, upper, b):
     # matmul becomes an (m, 1) operand whose scan-stacked buffers get a
     # tile-padded layout (128x; compile-time OOM at 100k poses with the
     # flat pipeline), while a (1, m) row pads only (8, 128).
-    b_row = b[:, None, :]  # (n, 1, m)
+    squeeze = b.ndim == 2
+    b_row = b[:, None, :] if squeeze else b  # (n, K, m)
+    n_rhs = b_row.shape[1]
     with jax.default_matmul_precision("highest"):
         def fwd(carry, inputs):
             inv_prev, y_prev, u_prev = carry
@@ -146,7 +152,7 @@ def block_thomas_solve(diag, upper, b):
             inv_k = li.T @ li  # S_k^-1 = L^-T L^-1
             return (inv_k, rhs, u_k), (inv_k, rhs)
 
-        init = (eye, jnp.zeros((1, m), diag.dtype),
+        init = (eye, jnp.zeros((n_rhs, m), diag.dtype),
                 jnp.zeros((m, m), diag.dtype))
         _, (invs, ys) = jax.lax.scan(fwd, init, (diag, up, b_row))
 
@@ -158,9 +164,9 @@ def block_thomas_solve(diag, upper, b):
             return x_k, x_k
 
         _, xs_rev = jax.lax.scan(
-            bwd, jnp.zeros((1, m), diag.dtype),
+            bwd, jnp.zeros((n_rhs, m), diag.dtype),
             (invs[::-1], ys[::-1], up[::-1]))
-        return xs_rev[::-1, 0, :]
+        return xs_rev[::-1, 0, :] if squeeze else xs_rev[::-1]
 
 
 def pad_band(h_band, b, multiple: int):
@@ -212,7 +218,8 @@ def _flat_prescale(h_flat, b_flat, band: int):
     return h_flat * scale, b_flat * s, s
 
 
-def _flat_to_tridiag(h_flat, band: int, super_size: int):
+def _flat_to_tridiag(h_flat, band: int, super_size: int,
+                     drop_last: bool = True):
     """Super-block densification straight from flat banded storage.
 
     Builds the scalar diagonal strips ``val_o[3i+a] = H-scalar on
@@ -279,7 +286,10 @@ def _flat_to_tridiag(h_flat, band: int, super_size: int):
     # Scalar-symmetric completion of the diagonal blocks (only scalar
     # diagonals o >= 0 were placed).
     diag = diag_u + jnp.triu(diag_u, 1).swapaxes(-1, -2)
-    return diag, upper[:-1]
+    # upper[n-1] couples to the block AFTER this storage's last - zero
+    # for a whole matrix, but the live cross-chunk coupling when the
+    # caller holds one shard of a pose-sharded system (drop_last=False).
+    return diag, (upper[:-1] if drop_last else upper)
 
 
 def pad_flat(h_flat, b_flat, multiple: int):
