@@ -539,3 +539,131 @@ class TestShardedTridiag:
                                            **kw))(po)
         np.testing.assert_allclose(np.asarray(p_shd), np.asarray(p_rep),
                                    rtol=2e-4, atol=5e-3)
+
+
+class TestMultiSlice:
+    """Multi-slice (DCN) tier on a (2, 4) CPU mesh emulating 2 slices x
+    4 chips (SURVEY.md section 5, distributed row: psum over ICI within a
+    slice, DCN across slices)."""
+
+    def test_make_multislice_mesh(self):
+        from tpuslam.parallel import SLICE_AXIS, make_multislice_mesh
+
+        mesh = make_multislice_mesh(2, 4)
+        assert mesh.shape[SLICE_AXIS] == 2
+        assert mesh.shape["rollout"] == 4
+
+    def test_init_distributed_noop_single_process(self):
+        from tpuslam.parallel import init_distributed
+
+        assert init_distributed() is False  # no coordinator configured
+
+    def test_ekf_sweep_matches_flat_mesh(self):
+        """2-slice hierarchical sweep == 1-D 8-device sweep (same keys:
+        sharding layout must not change the math)."""
+        from tpuslam.filters import EkfConfig
+        from tpuslam.parallel import (SLICE_AXIS, make_mesh,
+                                      make_multislice_mesh,
+                                      sharded_ekf_sweep)
+
+        cfg = EkfConfig()
+        keys = jax.random.split(jax.random.key(11), 16)
+        mesh1 = make_mesh()
+        t1, p1, r1 = jax.jit(
+            lambda k: sharded_ekf_sweep(cfg, mesh1, k, 10))(keys)
+        mesh2 = make_multislice_mesh(2, 4)
+        t2, p2, r2 = jax.jit(
+            lambda k: sharded_ekf_sweep(cfg, mesh2, k, 10,
+                                        slice_axis=SLICE_AXIS))(keys)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_allclose(float(r1), float(r2), rtol=1e-6)
+
+    def test_fused_sweep_two_slices(self):
+        from tpuslam.filters import EkfConfig
+        from tpuslam.parallel import (SLICE_AXIS, make_multislice_mesh,
+                                      sharded_ekf_fused_sweep)
+
+        cfg = EkfConfig()
+        mesh = make_multislice_mesh(2, 4)
+        final, err, rmse = jax.jit(lambda s: sharded_ekf_fused_sweep(
+            cfg, mesh, s, batch=16, n_steps=4, tile_b=2,
+            noise_on=False, interpret=True,
+            slice_axis=SLICE_AXIS))(0)
+        assert final.x_hat.shape == (16, 3)
+        assert np.isfinite(float(rmse))
+
+    def test_gn_iteration_two_slices_matches_flat(self):
+        """Edge-sharded assembly over slice x rollout with hierarchical
+        psum == the 1-D mesh result (exact: integer scatter targets,
+        f32 sums reassociated only across identical partials)."""
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, make_large_scene,
+                                  window_pairs)
+        from tpuslam.parallel import (SLICE_AXIS, make_mesh,
+                                      make_multislice_mesh,
+                                      sharded_gn_iteration)
+
+        t1 = 64
+        cfg = GraphConfig(
+            max_times=t1, num_landmarks=12, exact_jacobians=True,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        pt, po, obs = make_large_scene(cfg, jax.random.key(12), t1, 12,
+                                       radius=20.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=8)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        kw = dict(rel_odom=rel_odom, cg_tol=1e-10)
+        mesh1 = make_mesh()
+        p1, d1, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh1, p, obs, el, 8,
+                                           solver="cg", **kw))(po)
+        mesh2 = make_multislice_mesh(2, 4)
+        p2, d2, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh2, p, obs, el, 8,
+                                           solver="cg",
+                                           slice_axis=SLICE_AXIS,
+                                           **kw))(po)
+        # Hierarchical psum reassociates the f32 partial sums (4+2 vs
+        # flat 8): tiny last-ulp differences feed the solve.
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_gn_sharded_tridiag_two_slices(self):
+        """Hierarchical assembly + within-slice pose-sharded Thomas."""
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, make_large_scene,
+                                  window_pairs)
+        from tpuslam.parallel import (SLICE_AXIS, make_mesh,
+                                      make_multislice_mesh,
+                                      sharded_gn_iteration)
+
+        t1 = 64  # 4 within-slice devices x 2 super-blocks of 8
+        cfg = GraphConfig(
+            max_times=t1, num_landmarks=12, exact_jacobians=True,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        pt, po, obs = make_large_scene(cfg, jax.random.key(13), t1, 12,
+                                       radius=20.0, odom_noise=0.1)
+        el = window_pairs(np.asarray(obs.valid), window=8)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        mesh2 = make_multislice_mesh(2, 4)
+        p_td, _, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh2, p, obs, el, 8,
+                                           solver="sharded_tridiag",
+                                           slice_axis=SLICE_AXIS,
+                                           rel_odom=rel_odom))(po)
+        mesh1 = make_mesh()
+        p_cg, _, _ = jax.jit(
+            lambda p: sharded_gn_iteration(cfg, mesh1, p, obs, el, 8,
+                                           solver="cg", cg_tol=1e-10,
+                                           rel_odom=rel_odom))(po)
+        np.testing.assert_allclose(np.asarray(p_td), np.asarray(p_cg),
+                                   rtol=2e-4, atol=5e-3)

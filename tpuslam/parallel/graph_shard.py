@@ -49,7 +49,8 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
                          band: int, rel_odom=None,
                          odom_info=(100.0, 100.0, 400.0),
                          cg_iters: int = 200, cg_tol: float = 1e-8,
-                         solver: str = "cg"):
+                         solver: str = "cg",
+                         slice_axis: str | None = None):
     """One Gauss-Newton iteration with edge-sharded assembly.
 
     Edges are sharded over the mesh's rollout axis; poses/observations are
@@ -69,10 +70,29 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             CG shards at least ``band`` rows wide, tridiag at least two
             ``band``-sized super-blocks.
 
+        slice_axis: outer mesh axis spanning TPU slices
+            (:data:`tpuslam.parallel.mesh.SLICE_AXIS`).  Edges then
+            shard over ``slice x rollout`` and the assembly reduction is
+            hierarchical (within-slice psum over ICI, one combined
+            banded system per slice over DCN); the pose-sharded solvers
+            keep their halo exchanges INSIDE a slice (ICI only) and run
+            replicated across slices - DCN never carries per-iteration
+            traffic.
+
     Returns ``(new_poses, delta_sum, cg_iters)`` (replicated).
     """
     t1 = poses.shape[0]
     n_dev = mesh.shape[ROLLOUT_AXIS]
+    edge_axes = (ROLLOUT_AXIS,) if slice_axis is None else (
+        slice_axis, ROLLOUT_AXIS)
+    n_edge_shards = n_dev if slice_axis is None else (
+        n_dev * mesh.shape[slice_axis])
+
+    def _reduce(v):
+        v = jax.lax.psum(v, ROLLOUT_AXIS)  # ICI
+        if slice_axis is not None:
+            v = jax.lax.psum(v, slice_axis)  # DCN, hierarchical
+        return v
     if solver == "sharded_cg":
         if t1 % n_dev:
             raise ValueError(f"T1={t1} not divisible by {n_dev} devices")
@@ -86,7 +106,7 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             raise ValueError(
                 f"T1={t1} must give each of {n_dev} devices >= 2 "
                 f"super-blocks of {super_size} poses")
-    edges = pad_edges(edges, n_dev)
+    edges = pad_edges(edges, n_edge_shards)
 
     def local(poses, t_b, t_a, lm, valid):
         el = EdgeList(t_b, t_a, lm, valid)
@@ -105,9 +125,9 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             for k in (0, 4, 8):
                 h_flat = h_flat.at[k].add(-diag_extra - anchor_extra)
 
-            kept_cnt = jax.lax.psum(kept.astype(jnp.int32), ROLLOUT_AXIS)
-            h_flat = jax.lax.psum(h_flat, ROLLOUT_AXIS)
-            b_flat = jax.lax.psum(b_flat, ROLLOUT_AXIS)
+            kept_cnt = _reduce(kept.astype(jnp.int32))
+            h_flat = _reduce(h_flat)
+            b_flat = _reduce(b_flat)
 
             kept_g = kept_cnt > 0
             fk = jnp.argmax(kept_g)
@@ -157,9 +177,9 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
         h_band = h_band.at[0].add(-diag_extra
                                   - anchor_extra[:, None, None] * eye)
 
-        kept_cnt = jax.lax.psum(kept.astype(jnp.int32), ROLLOUT_AXIS)
-        h_band = jax.lax.psum(h_band, ROLLOUT_AXIS)
-        bvec = jax.lax.psum(bvec, ROLLOUT_AXIS)
+        kept_cnt = _reduce(kept.astype(jnp.int32))
+        h_band = _reduce(h_band)
+        bvec = _reduce(bvec)
 
         # Global anchor + padding (replicated).
         kept_g = kept_cnt > 0
@@ -192,10 +212,10 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
         new_poses = new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))
         return new_poses, jnp.sum(delta * delta), cg_it
 
+    e_spec = P(edge_axes)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(ROLLOUT_AXIS), P(ROLLOUT_AXIS), P(ROLLOUT_AXIS),
-                  P(ROLLOUT_AXIS)),
+        in_specs=(P(), e_spec, e_spec, e_spec, e_spec),
         out_specs=(P(), P(), P()),
         check_vma=False)
     return fn(poses, edges.t_b, edges.t_a, edges.lm, edges.valid)

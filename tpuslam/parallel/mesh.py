@@ -19,6 +19,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ROLLOUT_AXIS = "rollout"
 PARTICLE_AXIS = "particle"
+#: Outer mesh axis spanning TPU slices: collectives over it ride DCN
+#: (data-center network, ~100x lower bandwidth and ~10x higher latency
+#: than ICI), so reductions must be HIERARCHICAL - combine within a
+#: slice over ICI first, then send one slice-combined value over DCN
+#: (:func:`psum_hierarchical`).  Shard only throughput axes (rollouts,
+#: edge sets) over it; never halo-exchange or per-step state.
+SLICE_AXIS = "slice"
 
 
 def make_mesh(n_rollout: int | None = None, n_particle: int = 1,
@@ -52,3 +59,77 @@ def rollout_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Initialize multi-process JAX (one process per host/slice).
+
+    On a real multi-slice deployment every host calls this before any
+    device use; ``jax.devices()`` then spans all slices and
+    :func:`make_multislice_mesh` lays the DCN axis over them.  Arguments
+    default to the standard env vars (``JAX_COORDINATOR_ADDRESS`` etc.)
+    via ``jax.distributed.initialize``'s own auto-detection; a
+    single-process environment (no coordinator configured) is a no-op.
+
+    Returns True iff distributed mode is (now) active.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if coordinator_address is None and \
+            "JAX_COORDINATOR_ADDRESS" not in os.environ and \
+            "COORDINATOR_ADDRESS" not in os.environ:
+        return False  # single-process run (CI, one-slice, CPU mesh)
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count() > 1
+
+
+def make_multislice_mesh(n_slice: int, n_per_slice: int | None = None,
+                         devices=None, inner_axis: str = ROLLOUT_AXIS
+                         ) -> Mesh:
+    """Build a 2-D ``(slice, inner)`` mesh spanning TPU slices.
+
+    The outer ``slice`` axis maps across slices (DCN); the inner axis
+    maps within a slice (ICI).  On real multi-slice hardware the device
+    order must group each slice's chips contiguously -
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` handles
+    the physical layout; the fallback reshape covers virtual CPU meshes
+    and single-slice testing (device order is then the grouping).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_per_slice is None:
+        n_per_slice = len(devices) // n_slice
+    want = n_slice * n_per_slice
+    if len(devices) < want:
+        raise ValueError(f"need {want} devices, have {len(devices)}")
+    if devices[0].platform == "tpu":
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (n_per_slice,), (n_slice,), devices=devices[:want])
+            # hybrid layout: leading axis = DCN (slices).
+            return Mesh(dev_array, (SLICE_AXIS, inner_axis))
+        except Exception:
+            pass  # single-slice TPU or no multi-slice attrs: fall back
+    devs = np.asarray(devices[:want]).reshape(n_slice, n_per_slice)
+    return Mesh(devs, (SLICE_AXIS, inner_axis))
+
+
+def psum_hierarchical(x, inner_axis: str = ROLLOUT_AXIS,
+                      outer_axis: str = SLICE_AXIS):
+    """Two-stage psum: combine within the slice over ICI, then across
+    slices over DCN.
+
+    Semantically equal to ``psum(x, (inner, outer))`` but the staging
+    tells XLA to move only one slice-combined value per slice over DCN
+    (ICI: ~100s of GB/s per link; DCN: ~1-10 GB/s per host) instead of
+    flat-reducing every chip's contribution across the slow network.
+    """
+    return jax.lax.psum(jax.lax.psum(x, inner_axis), outer_axis)

@@ -24,7 +24,8 @@ from tpuslam.core.se2 import world_to_robot
 from tpuslam.parallel.mesh import PARTICLE_AXIS, ROLLOUT_AXIS
 
 
-def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int):
+def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int,
+                      slice_axis: str | None = None):
     """Monte-Carlo EKF sweep sharded over the rollout mesh axis.
 
     Each device runs its shard of seeded rollouts locally (vmap over the
@@ -32,39 +33,52 @@ def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int):
     device holds the global scalar.
 
     Args:
-        keys: ``(B,)`` PRNG keys, B divisible by the rollout axis size.
+        keys: ``(B,)`` PRNG keys, B divisible by the sharded axis sizes.
+        slice_axis: name of an outer mesh axis spanning TPU slices
+            (:data:`tpuslam.parallel.mesh.SLICE_AXIS`).  Rollouts then
+            shard over ``slice x rollout`` and the RMSE reduction is
+            hierarchical: within-slice psum over ICI first, one combined
+            value per slice over DCN after.
 
     Returns:
         ``(x_true, x_pre, rmse)``: sharded ``(B, T, 3)`` trajectory
         buffers and the replicated global RMSE scalar.
     """
+    axes = (ROLLOUT_AXIS,) if slice_axis is None else (
+        slice_axis, ROLLOUT_AXIS)
+
+    def reduce_sum(v):
+        v = jax.lax.psum(v, ROLLOUT_AXIS)  # ICI
+        if slice_axis is not None:
+            v = jax.lax.psum(v, slice_axis)  # DCN (one value per slice)
+        return v
 
     def local(keys_shard):
         # Mark the (constant-initialized) filter state as varying over the
-        # rollout axis so the scan carry types check under shard_map.
+        # sharded axes so the scan carry types check under shard_map.
         state0 = jax.tree.map(
-            lambda x: jax.lax.pcast(x, (ROLLOUT_AXIS,), to="varying"),
+            lambda x: jax.lax.pcast(x, axes, to="varying"),
             ekf_init(cfg, (keys_shard.shape[0],)))
         _, outs = jax.vmap(
             lambda k, s: ekf_rollout(cfg, k, n_steps, state0=s))(
                 keys_shard, state0)
         err = outs.x_pre[..., :2] - outs.x_true[..., :2]
-        se = jax.lax.psum(jnp.sum(err * err), ROLLOUT_AXIS)
-        n = jax.lax.psum(
-            jnp.asarray(err.shape[0] * err.shape[1], err.dtype),
-            ROLLOUT_AXIS)
+        se = reduce_sum(jnp.sum(err * err))
+        n = reduce_sum(
+            jnp.asarray(err.shape[0] * err.shape[1], err.dtype))
         rmse = jnp.sqrt(se / n)
         return outs.x_true, outs.x_pre, rmse
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=P(ROLLOUT_AXIS),
-                       out_specs=(P(ROLLOUT_AXIS), P(ROLLOUT_AXIS), P()))
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(axes),
+                       out_specs=(P(axes), P(axes), P()))
     return fn(keys)
 
 
 def sharded_ekf_fused_sweep(cfg: EkfConfig, mesh, seed, batch: int,
                             n_steps: int, tile_b: int = 2048,
                             noise_on: bool = True,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            slice_axis: str | None = None):
     """Fused-kernel Monte-Carlo EKF sweep sharded over ``rollout``.
 
     The production composition of the two EKF tiers: every device runs
@@ -85,26 +99,35 @@ def sharded_ekf_fused_sweep(cfg: EkfConfig, mesh, seed, batch: int,
     """
     from tpuslam.ops import ekf_fused_rollout
 
-    n_dev = mesh.shape[ROLLOUT_AXIS]
+    axes = (ROLLOUT_AXIS,) if slice_axis is None else (
+        slice_axis, ROLLOUT_AXIS)
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
     if batch % n_dev:
         raise ValueError(f"batch {batch} not divisible by {n_dev}")
     b_local = batch // n_dev
 
     def local(seed_arr):
         my = jax.lax.axis_index(ROLLOUT_AXIS)
+        if slice_axis is not None:
+            my = my + jax.lax.axis_index(slice_axis) * mesh.shape[
+                ROLLOUT_AXIS]
         final, err = ekf_fused_rollout(
             cfg, seed_arr[0] + my * 7919, batch=b_local,
             n_steps=n_steps, tile_b=min(tile_b, b_local),
             noise_on=noise_on, interpret=interpret)
-        se = jax.lax.psum(jnp.sum(err), ROLLOUT_AXIS)
+        se = jax.lax.psum(jnp.sum(err), ROLLOUT_AXIS)  # ICI
+        if slice_axis is not None:
+            se = jax.lax.psum(se, slice_axis)  # DCN, one value per slice
         rmse = jnp.sqrt(se / (batch * n_steps))
         return final, err, rmse
 
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=P(),
-        out_specs=(jax.tree.map(lambda _: P(ROLLOUT_AXIS),
+        out_specs=(jax.tree.map(lambda _: P(axes),
                                 EkfState(0, 0, 0, 0)),
-                   P(ROLLOUT_AXIS), P()),
+                   P(axes), P()),
         check_vma=False)
     return fn(jnp.asarray([seed], jnp.int32))
 
