@@ -111,10 +111,33 @@ def bench_pf_batch(batch=1024, particles=1000, steps=100):
     return batch * particles * steps / dt
 
 
-def bench_graph(n_steps=18):
+def bench_pf_batch_wide(batch=128, particles=10_000, steps=100):
+    """B reference-style filters at 10k particles each, multiple kernel
+    tiles per filter (ops/pf_batch_pallas.py wide path)."""
+    from tpuslam.filters import PfConfig
+    from tpuslam.ops import pf_batch_wide_rollout
+
+    cfg = PfConfig(num_particles=particles, weight_mode="log")
+
+    @jax.jit
+    def fn(k):
+        final, outs = pf_batch_wide_rollout(cfg, k, batch=batch,
+                                            n_steps=steps)
+        return jnp.sum(final.particles) + jnp.sum(outs.x_est)
+
+    dt = _time_scalar(fn, jax.random.key(0), reps=3)
+    return batch * particles * steps / dt
+
+
+def bench_graph(n_steps=18, guard="full"):
     """The reference demo course itself: 18 frames, per-frame GN
     re-estimation of the whole trajectory (graph_based_slam.py runs this
-    at 0.5 Hz = 36 s wall)."""
+    at 0.5 Hz = 36 s wall).
+
+    ``guard="full"`` matches reference semantics (true det + SVD cond
+    every updateEstPose, graph_based_slam.py:494-495); "cheap" uses
+    slogdet + a diagonal bound (reported separately).
+    """
     import math
 
     from tpuslam.models.scan_sensor import ScanConfig
@@ -125,7 +148,7 @@ def bench_graph(n_steps=18):
         scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
                         dist_gain=0.05, dir_sigma=math.radians(2.0),
                         orient_sigma=math.radians(2.0)),
-        guard="cheap")
+        guard=guard)
     scene = SlamSceneConfig()
 
     @jax.jit
@@ -221,10 +244,19 @@ def main():
     except Exception as e:  # secondary: never break the headline line
         print(f"# PF bench failed: {e}", file=sys.stderr)
     try:
-        graph_dt = bench_graph()
-        print(f"# reference demo course (18 frames, sim + per-frame GN; "
-              f"36 s wall in the reference): {graph_dt*1e3:.1f} ms",
-              file=sys.stderr)
+        pf_rate = bench_pf_batch_wide()
+        print(f"# PF (batched wide fused, 128x10000): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# PF batch wide bench failed: {e}", file=sys.stderr)
+    try:
+        graph_dt = bench_graph(guard="full")
+        print(f"# reference demo course (18 frames, sim + per-frame GN, "
+              f"FULL reference guards; 36 s wall in the reference): "
+              f"{graph_dt*1e3:.1f} ms", file=sys.stderr)
+        graph_dt_cheap = bench_graph(guard="cheap")
+        print(f"# same, cheap guards (slogdet + diag bound): "
+              f"{graph_dt_cheap*1e3:.1f} ms", file=sys.stderr)
     except Exception as e:
         print(f"# graph bench failed: {e}", file=sys.stderr)
     try:

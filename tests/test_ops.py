@@ -567,3 +567,141 @@ class TestFastmath:
         # Argument folding in f32 loses a few ulps at |theta| ~ 20.
         assert np.max(np.abs(np.asarray(c) - ref_c)) < 5e-6
         assert np.max(np.abs(np.asarray(s) - ref_s)) < 5e-6
+
+
+class TestPfBatchWide:
+    """Wide batched fused PF: B filters x W tiles each
+    (ops/pf_batch_pallas.py pf_batch_wide_*); closes the one-tile cap of
+    the original batch kernel (reference NP as a free parameter,
+    particle_filter.py:31)."""
+
+    @staticmethod
+    def _skewed_state(cfg, b, tile_n, seed=0):
+        from tpuslam.ops.pf_batch_pallas import (_wide_dims,
+                                                 pf_batch_wide_init)
+
+        w_tiles, np_ = _wide_dims(cfg, tile_n)
+        n = cfg.num_particles
+        rng = np.random.default_rng(seed)
+        st = pf_batch_wide_init(cfg, b, tile_n)
+        p = np.asarray(st.particles).copy()
+        p += rng.normal(size=p.shape) * 0.3
+        lw = np.full((1, b * np_), -np.inf, np.float32)
+        lse = np.zeros(b, np.float32)
+        lse2 = np.zeros(b, np.float32)
+        for f in range(b):
+            vals = rng.normal(size=n) * 8.0  # heavy skew -> gate fires
+            lw[0, f * np_:f * np_ + n] = vals
+            m = vals.max()
+            lse[f] = m + np.log(np.exp(vals - m).sum())
+            lse2[f] = 2 * m + np.log(np.exp(2 * (vals - m)).sum())
+        return st._replace(particles=jnp.asarray(p),
+                           log_w=jnp.asarray(lw),
+                           lse=jnp.asarray(lse), lse2=jnp.asarray(lse2))
+
+    def test_resample_matches_vmapped_decode(self, rng):
+        """Firing step, noise-free: the kernel resample selection must be
+        bit-identical per filter to the shared-t XLA decode on the same
+        quantized weights and the same comb offsets."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.models.process import circular_step
+        from tpuslam.ops.pf_batch_pallas import (_wide_dims,
+                                                 pf_batch_wide_step)
+        from tpuslam.ops.resample_pallas import (decode_indices,
+                                                 slot_boundaries)
+
+        b, tile_n = 3, 256
+        cfg = PfConfig(num_particles=1000, weight_mode="log",
+                       ess_threshold_frac=0.5)
+        n = cfg.num_particles
+        w_tiles, np_ = _wide_dims(cfg, tile_n)
+        st = self._skewed_state(cfg, b, tile_n)
+        key = jax.random.key(7)
+        st2, out = pf_batch_wide_step(cfg, st, key, 1, tile_n=tile_n,
+                                      noise_on=False, interpret=True)
+        assert bool(np.asarray(out.resampled).all())
+
+        # Expected: replicate the step's own RNG derivation.
+        k_rs, k_obs = jax.random.split(key)
+        offs = jax.random.uniform(k_rs, (b,), jnp.float32)
+        lw2 = st.log_w.reshape(b, np_)
+        w_rows = jnp.exp(lw2 - st.lse[:, None])
+        p3 = np.asarray(st.particles).reshape(3, b, np_)
+        x_true = circular_step(st.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
+        v, w_, dt = cfg.vel, cfg.yaw_rate, cfg.dt
+        for f in range(b):
+            t_row = slot_boundaries(w_rows[f][None, :], n, offs[f])
+            idx = np.asarray(decode_indices(t_row, n))
+            sel = p3[:, f, idx]  # (3, n) resampled particles
+            # Noise-free predict (circular step, reference yaw handling).
+            x = sel[0] + v * dt * np.cos(sel[2])
+            y = sel[1] + v * dt * np.sin(sel[2])
+            got = np.asarray(st2.particles)[:, f * np_:f * np_ + n]
+            np.testing.assert_allclose(got[0], x, atol=1e-5)
+            np.testing.assert_allclose(got[1], y, atol=1e-5)
+
+    def test_stats_match_xla_recompute(self):
+        """lse/lse2/MAP from the stats pass == XLA recompute on the
+        step's own output log weights."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_batch_pallas import (_wide_dims,
+                                                 pf_batch_wide_step)
+
+        b, tile_n = 2, 256
+        cfg = PfConfig(num_particles=900, weight_mode="log",
+                       ess_threshold_frac=0.5)
+        w_tiles, np_ = _wide_dims(cfg, tile_n)
+        st = self._skewed_state(cfg, b, tile_n, seed=3)
+        st2, out = pf_batch_wide_step(cfg, st, jax.random.key(9), 1,
+                                      tile_n=tile_n, noise_on=False,
+                                      interpret=True)
+        lw = np.asarray(st2.log_w, np.float64).reshape(b, np_)
+        for f in range(b):
+            fin = lw[f][np.isfinite(lw[f])]
+            m = fin.max()
+            lse = m + np.log(np.exp(fin - m).sum())
+            lse2 = 2 * m + np.log(np.exp(2 * (fin - m)).sum())
+            assert np.isclose(float(st2.lse[f]), lse, atol=1e-4)
+            assert np.isclose(float(st2.lse2[f]), lse2, atol=1e-4)
+            best = np.argmax(lw[f])
+            np.testing.assert_allclose(
+                np.asarray(st2.x_est)[f],
+                np.asarray(st2.particles)[:, f * np_ + best], atol=1e-5)
+
+    def test_no_fire_keeps_particles(self):
+        """Uniform weights: no filter fires; predict applies to the
+        original clouds (noise-free: deterministic shift)."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.models.process import circular_step
+        from tpuslam.ops.pf_batch_pallas import (pf_batch_wide_init,
+                                                 pf_batch_wide_step)
+
+        cfg = PfConfig(num_particles=500, weight_mode="log")
+        st = pf_batch_wide_init(cfg, 2, tile_n=256)
+        st2, out = pf_batch_wide_step(cfg, st, jax.random.key(0), 1,
+                                      tile_n=256, noise_on=False,
+                                      interpret=True)
+        assert not bool(np.asarray(out.resampled).any())
+        x0 = np.asarray(st.particles)
+        v, dt = cfg.vel, cfg.dt
+        want_x = x0[0] + v * dt * np.cos(x0[2])
+        lw = np.asarray(st2.log_w)
+        valid = np.isfinite(lw[0])
+        np.testing.assert_allclose(np.asarray(st2.particles)[0][valid],
+                                   want_x[valid], atol=1e-5)
+
+    def test_rollout_tracks(self):
+        """10k-particle filters (10 tiles each) track the circular truth
+        over a short noise-free rollout."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_batch_pallas import pf_batch_wide_rollout
+
+        cfg = PfConfig(num_particles=2048, weight_mode="log")
+        final, outs = pf_batch_wide_rollout(cfg, jax.random.key(2), 2, 8,
+                                            tile_n=512, noise_on=False,
+                                            interpret=True)
+        err = np.asarray(outs.x_est[..., :2]
+                         - outs.x_true[:, None, :2])
+        rmse = np.sqrt((err ** 2).sum(-1).mean())
+        assert rmse < 1.0
+        assert np.isfinite(np.asarray(final.lse)).all()

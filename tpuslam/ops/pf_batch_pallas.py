@@ -319,3 +319,397 @@ def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
     (final, _), outs = jax.lax.scan(
         body, (state0, jnp.asarray(1, jnp.int32)), keys)
     return final, outs
+
+
+# ---------------------------------------------------------------------------
+# Wide batched filters: B filters x W tiles each (beyond one tile/filter).
+# ---------------------------------------------------------------------------
+
+class PfBatchWideState(typing.NamedTuple):
+    """Scan carry of the WIDE batched fused PF (many tiles per filter).
+
+    The one-tile kernel above caps a filter at ~1-2k particles (its
+    in-tile interval matmuls are P x P).  The wide path scales each
+    filter across ``W`` 1024-lane tiles by reusing the single-filter
+    merge machinery per filter: an exact-integer tiled prefix makes the
+    in-tile boundary builds chain across tiles with no gap or overlap
+    (:func:`tpuslam.ops.resample_pallas.tile_boundary_compact`), a
+    compaction pass caps survivors per tile, and an expansion pass walks
+    the filter's compacted window blocks (no skip table - W is small).
+
+    ``particles``/``log_w`` hold filter f at lanes ``[f*Np, (f+1)*Np)``
+    with ``Np = W * tile``; log weights are UNNORMALIZED with padding
+    lanes pinned to ``-inf``; per-filter normalizers (``lse``, ``lse2``)
+    ride as ``(B,)`` rows like the single-filter fused state.
+    """
+
+    x_true: jax.Array  # (3,)
+    particles: jax.Array  # (3, B*Np)
+    log_w: jax.Array  # (1, B*Np)
+    lse: jax.Array  # (B,)
+    lse2: jax.Array  # (B,)
+    x_est: jax.Array  # (B, 3)
+
+
+def _wide_dims(cfg: PfConfig, tile_n: int):
+    n = cfg.num_particles
+    w_tiles = -(-n // tile_n)
+    return w_tiles, w_tiles * tile_n
+
+
+def pf_batch_wide_init(cfg: PfConfig, batch: int,
+                       tile_n: int = 1024) -> PfBatchWideState:
+    """All filters at x0 with uniform weights (particle_filter.py:77-84)."""
+    w_tiles, np_ = _wide_dims(cfg, tile_n)
+    n = cfg.num_particles
+    x0 = jnp.asarray(cfg.x0, jnp.float32)
+    lane = jnp.arange(np_) < n
+    p_blk = jnp.where(lane[None, :], x0[:, None], 0.0)
+    lw_blk = jnp.where(lane[None, :], 0.0, -jnp.inf)
+    lse = jnp.full((batch,), math.log(float(n)), jnp.float32)
+    return PfBatchWideState(
+        x_true=x0,
+        particles=jnp.tile(p_blk, (1, batch)).astype(jnp.float32),
+        log_w=jnp.tile(lw_blk, (1, batch)).astype(jnp.float32),
+        lse=lse, lse2=lse, x_est=jnp.tile(x0[None], (batch, 1)))
+
+
+def _wide_compact_kernel(base_ref, qtot_ref, offs_ref, fire_ref, p_ref,
+                         wq_ref, out_ref, cnt_ref, *, t_k: int, n: int,
+                         w_tiles: int):
+    """Pass A, grid (B, W): per-(filter, tile) boundary + compaction."""
+    from tpuslam.ops.resample_pallas import tile_boundary_compact
+
+    f = pl.program_id(0)
+    w = pl.program_id(1)
+    t_in = wq_ref.shape[1]
+    tid = f * w_tiles + w
+
+    @pl.when(fire_ref[f] > 0)
+    def _go():
+        out, cnt = tile_boundary_compact(
+            wq_ref[0:1, :], p_ref[:, :], base_ref[tid], qtot_ref[f],
+            offs_ref[f], w * t_in, n, t_k)
+        out_ref[:, :] = out
+        cnt_ref[0, tid] = cnt.astype(jnp.int32)
+
+    @pl.when(fire_ref[f] <= 0)
+    def _skip():
+        cnt_ref[0, tid] = 0
+
+
+def _wide_expand_kernel(cnt_ref, fire_ref, tc_ref, out_ref, *,
+                        t_out: int, wb2: int, w_tiles: int, t_k: int):
+    """Pass B, grid (B, Wout, NB): interval expansion, occupancy-skipped.
+
+    Window block ``blk`` of filter ``f`` is tile ``blk // nw``'s
+    sub-block ``blk % nw``; it holds survivors iff the tile's count
+    exceeds ``(blk % nw) * wb2``.  Out tiles are revisited across blk.
+    """
+    f = pl.program_id(0)
+    b_out = pl.program_id(1)
+    blk = pl.program_id(2)
+    nw = t_k // wb2
+
+    @pl.when(blk == 0)
+    def _reset():
+        out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    occupied = cnt_ref[0, f * w_tiles + blk // nw] > (blk % nw) * wb2
+
+    @pl.when(occupied & (fire_ref[f] > 0))
+    def _accumulate():
+        t_hi = (tc_ref[9:10, :].astype(jnp.float32)
+                + tc_ref[10:11, :].astype(jnp.float32)
+                + tc_ref[11:12, :].astype(jnp.float32))  # (1, wb2)
+        t_lo = (tc_ref[12:13, :].astype(jnp.float32)
+                + tc_ref[13:14, :].astype(jnp.float32)
+                + tc_ref[14:15, :].astype(jnp.float32))
+        i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
+             + b_out * t_out).astype(jnp.float32)
+        m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            tc_ref[0:9, :], m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (9, t_out)
+        out_ref[:, :] += jnp.concatenate(
+            [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
+             + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0)
+
+
+def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
+                       p_out_ref, lw_out_ref, stats_ref, acc_ref, *,
+                       cfg: PfConfig, noise_on: bool, w_tiles: int,
+                       tile_n: int):
+    """Pass C, grid (B, W): predict + weight + per-filter reductions.
+
+    The wide twin of the single-filter ``_pf_stats_kernel``: SMEM
+    accumulators reset at each filter's first tile and finalized at its
+    last, writing the filter's stats row
+    ``[lse, lse2, x_map, y_map, yaw_map, best_lw]``.
+    """
+    f = pl.program_id(0)
+    w = pl.program_id(1)
+    n = cfg.num_particles
+    if noise_on:
+        pltpu.prng_seed(seed_ref[0] + f * w_tiles + w)
+
+    lw_in = lw_in_ref[0:1, :]
+    lw_in = jnp.where(flag_ref[f] > 0.0, 0.0, lw_in)
+
+    zget = lambda li, c: z_ref[0, 2 * li + c]  # noqa: E731
+    x, y, yaw, acc = _predict_loglik(
+        cfg, z_ref, p_in_ref[0:1, :], p_in_ref[1:2, :], p_in_ref[2:3, :],
+        noise_on, z_get=zget)
+    lw = lw_in + acc
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, lw.shape, 1)
+           .astype(jnp.float32) + jnp.float32(tile_n) *
+           w.astype(jnp.float32))
+    lane_valid = idx < float(n)
+    neg_inf = jnp.float32(-jnp.inf)
+    lw_m = jnp.where(lane_valid, lw, neg_inf)
+
+    p_out_ref[0:1, :] = x
+    p_out_ref[1:2, :] = y
+    p_out_ref[2:3, :] = yaw
+    lw_out_ref[0:1, :] = lw_m
+
+    tile_max = jnp.max(lw_m)
+    e = jnp.exp(lw_m - tile_max)
+    tile_sum = jnp.sum(e)
+    tile_sum2 = jnp.sum(e * e)
+    best_idx = jnp.max(jnp.where(lw_m == tile_max, idx, neg_inf))
+    sel = idx == best_idx
+    bx = jnp.max(jnp.where(sel, x, neg_inf))
+    by = jnp.max(jnp.where(sel, y, neg_inf))
+    byaw = jnp.max(jnp.where(sel, yaw, neg_inf))
+
+    @pl.when(w == 0)
+    def _init():
+        acc_ref[0] = tile_max
+        acc_ref[1] = tile_sum
+        acc_ref[2] = 2.0 * tile_max
+        acc_ref[3] = tile_sum2
+        acc_ref[4] = tile_max
+        acc_ref[5] = bx
+        acc_ref[6] = by
+        acc_ref[7] = byaw
+
+    @pl.when(w > 0)
+    def _accumulate():
+        m_old = acc_ref[0]
+        m_new = jnp.maximum(m_old, tile_max)
+        acc_ref[1] = (acc_ref[1] * jnp.exp(m_old - m_new)
+                      + tile_sum * jnp.exp(tile_max - m_new))
+        acc_ref[0] = m_new
+        m2_old = acc_ref[2]
+        m2_new = jnp.maximum(m2_old, 2.0 * tile_max)
+        acc_ref[3] = (acc_ref[3] * jnp.exp(m2_old - m2_new)
+                      + tile_sum2 * jnp.exp(2.0 * tile_max - m2_new))
+        acc_ref[2] = m2_new
+        better = tile_max > acc_ref[4]
+        acc_ref[4] = jnp.where(better, tile_max, acc_ref[4])
+        acc_ref[5] = jnp.where(better, bx, acc_ref[5])
+        acc_ref[6] = jnp.where(better, by, acc_ref[6])
+        acc_ref[7] = jnp.where(better, byaw, acc_ref[7])
+
+    @pl.when(w == w_tiles - 1)
+    def _finish():
+        stats_ref[0, 8 * f + 0] = acc_ref[0] + jnp.log(acc_ref[1])
+        stats_ref[0, 8 * f + 1] = acc_ref[2] + jnp.log(acc_ref[3])
+        stats_ref[0, 8 * f + 2] = acc_ref[5]
+        stats_ref[0, 8 * f + 3] = acc_ref[6]
+        stats_ref[0, 8 * f + 4] = acc_ref[7]
+        stats_ref[0, 8 * f + 5] = acc_ref[4]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
+                                             "interpret"))
+def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
+                       tile_n: int = 1024, noise_on: bool = True,
+                       interpret: bool = False):
+    """One step of B wide filters (main_pf order: resample -> predict ->
+    observe -> weight -> estimate).
+
+    The per-filter ESS gate reads the carried normalizers (no weight
+    materialization); firing filters resample through the two-pass
+    in-kernel merge (selection bit-identical per filter to the
+    hist/merge law on the same quantized weights); a global
+    ``lax.cond`` falls back to the vmapped XLA decode in the (rare)
+    over-cap case.
+    """
+    from tpuslam.ops.resample_pallas import (decode_indices,
+                                             slot_boundaries)
+
+    w_tiles, np_ = _wide_dims(cfg, tile_n)
+    b = state.particles.shape[1] // np_
+    n = cfg.num_particles
+    t_k = min(256, tile_n)
+    wb2 = min(128, t_k)
+    nw_blocks = w_tiles * (t_k // wb2)
+
+    k_rs, k_obs = jax.random.split(key)
+    x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
+    lm = jnp.asarray(cfg.landmarks, jnp.float32)
+    z0 = world_to_robot(x_true, lm)
+    noise = jax.random.normal(k_obs, (b,) + z0.shape, jnp.float32)
+    z = z0[None] + noise * jnp.asarray(cfg.r_std, jnp.float32)
+    z_flat = jnp.zeros((b, 128), jnp.float32)
+    z_flat = z_flat.at[:, :z0.size].set(z.reshape(b, -1))
+    z_rows = z_flat.reshape(1, b * 128)
+
+    # --- per-filter gate from carried normalizers ----------------------
+    bad = ~(jnp.isfinite(state.lse) & jnp.isfinite(state.lse2))
+    ess = jnp.where(bad, float(n),
+                    jnp.exp(2.0 * state.lse - state.lse2))
+    fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
+    offs = jax.random.uniform(k_rs, (b,), jnp.float32)
+
+    # --- quantize per filter (the only O(B*N) XLA work) ----------------
+    lw2 = state.log_w.reshape(b, np_)
+    w_rows = jnp.exp(lw2 - state.lse[:, None])  # padded -inf -> 0
+    total = jnp.sum(w_rows, axis=-1, keepdims=True)
+    wq = jnp.round(w_rows * (float(1 << 20) / total))
+    tile_sums = wq.reshape(b, w_tiles, tile_n).sum(axis=-1)
+    cum_t = jnp.cumsum(tile_sums, axis=-1)
+    base = (cum_t - tile_sums).reshape(-1)  # (B*W,) exclusive
+    q_tot = cum_t[:, -1]
+    wq_rows = wq.reshape(1, b * np_)
+    fire_i = fire.astype(jnp.int32)
+
+    # --- pass A: compact ----------------------------------------------
+    tc, cnt = pl.pallas_call(
+        functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
+                          w_tiles=w_tiles),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, w_tiles),
+            in_specs=[
+                pl.BlockSpec((3, tile_n),
+                             lambda f, w, *_: (0, f * w_tiles + w),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n),
+                             lambda f, w, *_: (0, f * w_tiles + w),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((15, t_k),
+                             lambda f, w, *_: (0, f * w_tiles + w),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((15, b * w_tiles * t_k), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, b * w_tiles), jnp.int32),
+        ],
+        interpret=interpret,
+    )(base.astype(jnp.float32), q_tot.astype(jnp.float32), offs,
+      fire_i, state.particles, wq_rows)
+    ok = jnp.max(jnp.where(fire[:, None], cnt.reshape(b, w_tiles), 0)
+                 ) <= t_k
+
+    # --- pass B: expand ------------------------------------------------
+    def kernel_path(_):
+        out = pl.pallas_call(
+            functools.partial(_wide_expand_kernel, t_out=tile_n,
+                              wb2=wb2, w_tiles=w_tiles, t_k=t_k),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(b, w_tiles, nw_blocks),
+                in_specs=[pl.BlockSpec(
+                    (15, wb2),
+                    lambda f, bo, blk, *_: (0, f * nw_blocks + blk),
+                    memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(
+                    (3, tile_n),
+                    lambda f, bo, blk, *_: (0, f * w_tiles + bo),
+                    memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((3, b * np_), jnp.float32),
+            interpret=interpret,
+        )(cnt, fire_i, tc)
+        return out
+
+    def xla_path(_):
+        def one(wr, of):
+            t_row = slot_boundaries(wr[None, :], n, of)
+            idx = decode_indices(t_row, n)
+            return idx
+        idxs = jax.vmap(one)(w_rows, offs)  # (B, n)
+        p3 = state.particles.reshape(3, b, np_)
+        out = jnp.zeros((3, b, np_), jnp.float32)
+        taken = jnp.take_along_axis(
+            p3, idxs[None, :, :], axis=2)  # (3, B, n) via clip? idx < n
+        out = out.at[:, :, :n].set(taken)
+        return out.reshape(3, b * np_)
+
+    resampled = jax.lax.cond(ok, kernel_path, xla_path, 0)
+
+    # --- per-filter select + weight reset ------------------------------
+    fire_lane = jnp.repeat(fire, np_)[None, :]
+    particles_in = jnp.where(fire_lane, resampled, state.particles)
+    lane_valid = (jnp.arange(np_) < n)
+    uni = jnp.where(lane_valid, 0.0, -jnp.inf)[None, :]
+    lw_in = jnp.where(fire_lane, jnp.tile(uni, (1, b)), state.log_w)
+    flag = jnp.where(bad & ~fire, 1.0, 0.0)
+
+    # --- pass C: predict + weight + stats ------------------------------
+    p_out, lw_out, st = pl.pallas_call(
+        functools.partial(_wide_stats_kernel, cfg=cfg, noise_on=noise_on,
+                          w_tiles=w_tiles, tile_n=tile_n),
+        grid=(b, w_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda f, w: (0, f),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tile_n), lambda f, w: (0, f * w_tiles + w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda f, w: (0, f * w_tiles + w),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((3, b * np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, b * np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8 * b), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((3, tile_n), lambda f, w: (0, f * w_tiles + w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda f, w: (0, f * w_tiles + w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((8,), jnp.float32)],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), flag, z_rows, particles_in, lw_in)
+
+    st = st.reshape(b, 8)
+    lse, lse2 = st[:, 0], st[:, 1]
+    x_est = st[:, 2:5]
+    out = PfBatchOut(x_true=x_true, x_est=x_est, ess=ess, lse=lse,
+                     resampled=fire, bad=bad)
+    return PfBatchWideState(x_true=x_true, particles=p_out,
+                            log_w=lw_out, lse=lse, lse2=lse2,
+                            x_est=x_est), out
+
+
+def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
+                          tile_n: int = 1024, noise_on: bool = True,
+                          interpret: bool = False):
+    """``n_steps`` wide batched steps under ``lax.scan``."""
+    state0 = pf_batch_wide_init(cfg, batch, tile_n)
+    keys = jax.random.split(key, n_steps)
+
+    def body(carry, k):
+        st, seed = carry
+        st, out = pf_batch_wide_step(cfg, st, k, seed, tile_n=tile_n,
+                                     noise_on=noise_on,
+                                     interpret=interpret)
+        return (st, seed + 7919), out
+
+    (final, _), outs = jax.lax.scan(
+        body, (state0, jnp.asarray(1, jnp.int32)), keys)
+    return final, outs

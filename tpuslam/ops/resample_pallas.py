@@ -117,6 +117,23 @@ def slot_boundaries(w_row, n: int, offs):
     return jnp.where(lane >= n - 1, n, t)
 
 
+def slot_boundaries_from_wq(wq_row, n: int, offs):
+    """Slot boundaries from PRE-QUANTIZED integer weights.
+
+    Same law as :func:`slot_boundaries` given the same integers: the
+    cumsum of exact integers is order-independent, so a caller that
+    quantized with a different (but replicated) total - e.g. the
+    sharded path's psum-of-local-sums - gets boundaries bit-identical
+    to any other evaluation of the same ``wq``.
+    """
+    cum = jnp.cumsum(wq_row, axis=-1)
+    q_tot = cum[..., -1:]
+    t = jnp.ceil(n * (cum / q_tot) - offs).astype(jnp.int32)
+    t = jnp.clip(t, 0, n)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    return jnp.where(lane >= n - 1, n, t)
+
+
 def decode_indices(t_row, n: int):
     """XLA decode of :func:`slot_boundaries` into gather indices.
 
@@ -345,8 +362,76 @@ def _strict_lt(t_in: int, dtype=jnp.bfloat16):
     return (r < c).astype(dtype)
 
 
-def _boundary_compact_kernel(base_ref, par_ref, p_ref, wq_ref, out_ref,
-                             cnt_ref, *, t_k: int, n: int):
+def tile_boundary_compact(wq, p3, base, q_tot, offs, lane0, n: int,
+                          t_k: int):
+    """Shared tile body: boundaries from an exact prefix + compaction.
+
+    Pure function of in-kernel values (usable from any grid layout - the
+    single-filter pass 1 and the batched wide kernel share it).
+
+    Args:
+        wq: ``(1, t_in)`` exact integer quantized weights.
+        p3: ``(3, t_in)`` particle rows.
+        base: scalar exclusive integer prefix of all earlier tiles
+            (within this tile's filter).
+        q_tot / offs: the filter's exact total and comb offset.
+        lane0: first global (within-filter) lane id of this tile.
+        n: the filter's valid particle count.
+
+    Returns:
+        ``(out_block (15, t_k) bf16, cnt scalar f32)``.
+    """
+    t_in = wq.shape[1]
+    wh, wm, wl = split3(wq)
+    lt = _strict_lt(t_in)
+    # Prefix orientation: contracting against M's FIRST axis gives
+    # out[c] = sum_r v[r] * (r < c) - the strict (exclusive) prefix.
+    cum_ex = jax.lax.dot_general(
+        jnp.concatenate([wh, wm, wl], axis=0), lt,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    cum_ex = (cum_ex[0:1] + cum_ex[1:2] + cum_ex[2:3]) + base  # (1, t_in)
+    cum_in = cum_ex + wq  # inclusive prefix, exact
+
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (1, t_in), 1) + lane0)
+    nf = jnp.float32(n)
+
+    def bound(cum, force_ge):
+        t = jnp.ceil(nf * (cum / q_tot) - offs)
+        t = jnp.clip(t, 0.0, nf)
+        return jnp.where(lane >= force_ge, nf, t)
+
+    t_hi = bound(cum_in, n - 1)  # slot_boundaries forcing: t[n-1] = n
+    t_lo = bound(cum_ex, n)  # previous lane's t_hi, incl. its forcing
+
+    f = (t_hi > t_lo).astype(jnp.float32)  # (1, t_in) 0/1
+    rank = jax.lax.dot_general(
+        f.astype(jnp.bfloat16), lt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # exclusive survivor rank
+    cnt = rank[0, t_in - 1] + f[0, t_in - 1]
+
+    # Mosaic's iota is integer-only; cast after.
+    krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, t_in), 0)
+            .astype(jnp.float32))
+    sel = ((krow == rank) & (f > 0)).astype(jnp.bfloat16)
+
+    # Value stack built in-kernel: [x y yaw t_hi t_lo] x [hi mid lo].
+    stack5 = jnp.concatenate([p3, t_hi, t_lo], axis=0)
+    hml = split3(stack5)  # 3 x (5, t_in) bf16
+    vals = jnp.stack(hml, axis=1).reshape(_ROWS, t_in)
+    compact = jax.lax.dot_general(
+        vals, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (15, t_k) f32, exact
+    kcol = (jax.lax.broadcasted_iota(jnp.int32, (1, t_k), 1)
+            .astype(jnp.float32))
+    live = kcol < cnt
+    fill_src = vals[:, t_in - 1:t_in]  # (15, 1) last input lane
+    fill = jnp.concatenate([fill_src[0:12], fill_src[9:12]], axis=0)
+    return jnp.where(live, compact.astype(jnp.bfloat16), fill), cnt
+
+
+def _boundary_compact_kernel(base_ref, par_ref, lane0_ref, p_ref, wq_ref,
+                             out_ref, cnt_ref, *, t_k: int, n: int):
     """Fused pass 1: in-tile boundary build + survivor compaction.
 
     Replaces the XLA glue of the unfused path (global ``quantized_cum``
@@ -371,58 +456,15 @@ def _boundary_compact_kernel(base_ref, par_ref, p_ref, wq_ref, out_ref,
     inert-fill convention as :func:`_compact_kernel`) and the tile's
     survivor count (SMEM scalar, feeds the skip table + cap predicate).
     """
-    t_in = wq_ref.shape[1]
     b = pl.program_id(0)
-    q_tot = par_ref[0]
-    offs = par_ref[1]
-    base = base_ref[b]
-
-    wq = wq_ref[0:1, :]  # (1, t_in) f32, exact ints
-    wh, wm, wl = split3(wq)
-    lt = _strict_lt(t_in)
-    # Prefix orientation: contracting against M's FIRST axis gives
-    # out[c] = sum_r v[r] * (r < c) - the strict (exclusive) prefix.
-    cum_ex = jax.lax.dot_general(
-        jnp.concatenate([wh, wm, wl], axis=0), lt,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    cum_ex = (cum_ex[0:1] + cum_ex[1:2] + cum_ex[2:3]) + base  # (1, t_in)
-    cum_in = cum_ex + wq  # inclusive prefix, exact
-
-    lane = (jax.lax.broadcasted_iota(jnp.int32, (1, t_in), 1)
-            + b * t_in)  # global lane ids
-    nf = jnp.float32(n)
-
-    def bound(cum, force_ge):
-        t = jnp.ceil(nf * (cum / q_tot) - offs)
-        t = jnp.clip(t, 0.0, nf)
-        return jnp.where(lane >= force_ge, nf, t)
-
-    t_hi = bound(cum_in, n - 1)  # slot_boundaries forcing: t[n-1] = n
-    t_lo = bound(cum_ex, n)  # previous lane's t_hi, incl. its forcing
-
-    f = (t_hi > t_lo).astype(jnp.float32)  # (1, t_in) 0/1
-    rank = jax.lax.dot_general(
-        f.astype(jnp.bfloat16), lt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # exclusive survivor rank
-    cnt = rank[0, t_in - 1] + f[0, t_in - 1]
-    cnt_ref[0, 0] = cnt.astype(jnp.int32)
-
-    krow = jax.lax.broadcasted_iota(jnp.float32, (t_k, t_in), 0)
-    sel = ((krow == rank) & (f > 0)).astype(jnp.bfloat16)
-
-    # Value stack built in-kernel: [x y yaw t_hi t_lo] x [hi mid lo].
-    stack5 = jnp.concatenate([p_ref[:, :], t_hi, t_lo], axis=0)
-    hml = split3(stack5)  # 3 x (5, t_in) bf16
-    vals = jnp.stack(hml, axis=1).reshape(_ROWS, t_in)
-    compact = jax.lax.dot_general(
-        vals, sel, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (15, t_k) f32, exact
-    kcol = jax.lax.broadcasted_iota(jnp.float32, (1, t_k), 1)
-    live = kcol < cnt
-    fill_src = vals[:, t_in - 1:t_in]  # (15, 1) last input lane
-    fill = jnp.concatenate([fill_src[0:12], fill_src[9:12]], axis=0)
-    out_ref[:, :] = jnp.where(live, compact.astype(jnp.bfloat16), fill)
+    out, cnt = tile_boundary_compact(
+        wq_ref[0:1, :], p_ref[:, :], base_ref[b], par_ref[0], par_ref[1],
+        lane0_ref[b], n, t_k)
+    out_ref[:, :] = out
+    # cnt rides an UNBLOCKED SMEM output (whole (1, nt_in) row visible,
+    # one slot written per grid step): Mosaic rejects (1, 1)-blocked
+    # output specs on hardware (block dims must divide (8, 128)).
+    cnt_ref[0, b] = cnt.astype(jnp.int32)
 
 
 def quantize_weights(w_row, n: int, t_in: int):
@@ -445,35 +487,48 @@ def quantize_weights(w_row, n: int, t_in: int):
 
 
 def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
-                               t_k: int, interpret: bool = False):
+                               t_k: int, interpret: bool = False,
+                               precomputed=None):
     """Fused pass-1 call: quantize (XLA) + boundary/compact (kernel).
 
     Selection is bit-identical to :func:`boundary_decode` +
     :func:`compact_particles`; returns ``(tc, cnt)`` where ``tc`` is the
     ``(15, (n_pad // t_in) * t_k)`` bf16 compacted stack and ``cnt`` the
     ``(nt_in,)`` int32 per-tile survivor counts.
+
+    Args:
+        precomputed: optional ``(wq, base, q_tot, lane0)`` when the
+            caller already quantized - the sharded survivor-exchange
+            path, where ``p_rows``/``wq`` are one device's slab, ``base``
+            the GLOBAL exclusive tile prefixes of that slab's tiles,
+            ``q_tot`` the global total, and ``lane0`` each tile's global
+            first-lane id (all exact integers, so the distributed prefix
+            reproduces the global cumsum bit-for-bit).
     """
     n_pad = p_rows.shape[1]
     nt_in = n_pad // t_in
-    wq, base, q_tot = quantize_weights(w_row, n, t_in)
+    if precomputed is None:
+        wq, base, q_tot = quantize_weights(w_row, n, t_in)
+        lane0 = jnp.arange(nt_in, dtype=jnp.int32) * t_in
+    else:
+        wq, base, q_tot, lane0 = precomputed
     params = jnp.stack([q_tot.astype(jnp.float32),
                         offs.astype(jnp.float32)])
     tc, cnt = pl.pallas_call(
         functools.partial(_boundary_compact_kernel, t_k=t_k, n=n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nt_in,),
             in_specs=[
-                pl.BlockSpec((3, t_in), lambda b, base, par: (0, b),
+                pl.BlockSpec((3, t_in), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t_in), lambda b, base, par: (0, b),
+                pl.BlockSpec((1, t_in), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((_ROWS, t_k), lambda b, base, par: (0, b),
+                pl.BlockSpec((_ROWS, t_k), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda b, base, par: (0, b),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
         ),
         out_shape=[
@@ -481,7 +536,8 @@ def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
             jax.ShapeDtypeStruct((1, nt_in), jnp.int32),
         ],
         interpret=interpret,
-    )(base.astype(jnp.float32), params, p_rows.astype(jnp.float32), wq)
+    )(base.astype(jnp.float32), params,
+      lane0.astype(jnp.int32), p_rows.astype(jnp.float32), wq)
     return tc, cnt[0]
 
 

@@ -183,19 +183,25 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
     the per-device kernel candidates.  The ESS-gated systematic resample
     is globally exact and comes in two flavors:
 
-    * ``resample_method="merge"`` (production): SURVIVOR EXCHANGE.
-      Weights are all-gathered (4 B/particle) for the bit-exact global
-      slot-boundary tensor; each device then compacts its OWN particle
-      slab with the pass-1 merge kernel
-      (:mod:`tpuslam.ops.resample_pallas`) and only the compacted
-      survivor blocks are all-gathered (bf16, ~2 B/particle at the
-      production t_k/t_in=1/4 dilution vs 12 B/particle for raw
-      particles), after which every device expands just its slot range
-      with the pass-2 kernel.  Falls back to the gather-everything path
-      (replicated psum'd predicate, same branch on all devices) if the
-      static caps overflow.
-    * anything else: all-gather weights AND particles, XLA decode +
-      gather (the reference-shaped path).
+    * ``resample_method="merge"`` (production): SURVIVOR EXCHANGE with a
+      DISTRIBUTED boundary build.  Each device quantizes its local
+      weights (scale = psum of per-device partial sums - one scalar
+      round), all_gathers only the per-tile integer sums
+      (~0.004 B/particle) whose exact prefixes let the fused pass-1
+      kernel rebuild the global cumsum bit-for-bit, compacts its OWN
+      particle slab, and all_gathers just the compacted survivor blocks
+      (bf16, ~2 B/particle at the production t_k/t_in=1/4 dilution vs
+      12 B/particle for raw particles + 4 B/particle for a weight-row
+      gather); every device then expands its slot range with the pass-2
+      kernel.  Falls back to a gathered-wq decode (same quantized law,
+      bit-identical selection) if the static caps overflow.
+    * ``"hist"``: all-gather the quantized weights AND particles, XLA
+      decode + gather - same distributed-total selection law as merge
+      (bit-parity between the two sharded interval paths; the psum'd
+      total may differ from a single device's flat sum by a ulp, the
+      same 2^-20 order as the quantization itself).
+    * anything else (``"search"``): all-gather raw weights + particles,
+      reference-exact unquantized decode.
 
     Only ``estimate="map"`` is supported (the kernel computes it).
 
@@ -238,15 +244,43 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
                         jnp.exp(2.0 * lse - lse2))
         do_rs = ess < n_total * cfg.ess_threshold_frac
 
+        def dist_wq(lw):
+            """Distributed quantization: local integer weights + global
+            exact prefixes, NO weight-row gather.
+
+            The scale uses the psum of per-device partial sums; all
+            downstream sums are of exact integers, so every evaluation
+            (local kernel prefix, gathered-cumsum fallback) of the same
+            ``wq`` produces bit-identical boundaries.  (The psum'd total
+            can differ from a single device's flat sum by a ulp - a
+            selection-law perturbation of the same 2^-20 order as the
+            quantization itself; both sharded interval paths share it,
+            keeping hist/merge bit-parity.)
+            """
+            w_loc = jnp.exp(lw[:, :n_local] - lse)  # (1, n_local)
+            total = jax.lax.psum(jnp.sum(w_loc), PARTICLE_AXIS)
+            return jnp.round(w_loc * (float(1 << 20) / total))
+
         def rs_gather(args):
             p, lw = args
             # Gather only the VALID lanes (padding is per-device).
-            all_lw = jax.lax.all_gather(lw[:, :n_local], PARTICLE_AXIS,
-                                        axis=1, tiled=True)[0]
             all_p = jax.lax.all_gather(p[:, :n_local], PARTICLE_AXIS,
                                        axis=1, tiled=True)
-            w = jnp.exp(all_lw - lse)
-            idx = resample_indices(k_rs, w, method=cfg.resample_method)
+            if cfg.resample_method in ("hist", "merge"):
+                from tpuslam.ops import resample_pallas as rp
+
+                wq_all = jax.lax.all_gather(
+                    dist_wq(lw), PARTICLE_AXIS, axis=1, tiled=True)
+                t_row = rp.slot_boundaries_from_wq(wq_all, n_total,
+                                                   offs)
+                idx = rp.decode_indices(t_row, n_total)
+            else:
+                all_lw = jax.lax.all_gather(
+                    lw[:, :n_local], PARTICLE_AXIS, axis=1,
+                    tiled=True)[0]
+                w = jnp.exp(all_lw - lse)
+                idx = resample_indices(k_rs, w,
+                                       method=cfg.resample_method)
             idx_loc = jax.lax.dynamic_slice_in_dim(idx, my * n_local,
                                                    n_local)
             p2 = jnp.zeros_like(p).at[:, :n_local].set(all_p[:, idx_loc])
@@ -254,31 +288,34 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             return p2, lw2
 
         def rs_merge(p, lw):
-            # Survivor exchange (see function docstring).  Selection is
-            # bit-identical to the gather path: the boundary tensor is
-            # built from the globally-gathered weight row exactly as a
-            # single device would.
+            # Survivor exchange (see function docstring) with the
+            # DISTRIBUTED boundary build: no weight-row gather at all -
+            # one scalar psum + an all_gather of per-tile integer sums
+            # (~0.004 B/particle) replace the 4 B/particle lw gather;
+            # the fused pass-1 kernel rebuilds the exact global cumsum
+            # from the gathered tile prefixes.
             from tpuslam.ops import resample_pallas as rp
 
-            # Same cap derivation and boundary decode as the
-            # single-device kernel (shared helpers - selection
-            # bit-parity depends on them being identical).
+            # Same cap derivation as the single-device kernel (shared
+            # helper - parity depends on deriving identical caps).
             t_in, t_k, t_out, w_b, wb2 = rp.merge_caps(n_local)
 
-            all_lw = jax.lax.all_gather(lw[:, :n_local], PARTICLE_AXIS,
-                                        axis=1, tiled=True)[0][None]
-            w_all = jnp.exp(all_lw - lse)  # (1, n_total)
-            offs = jax.random.uniform(k_rs, dtype=jnp.float32)
-            t_row, tprev, f_row, g_row, cnt, ok_compact = \
-                rp.boundary_decode(w_all, n_total, offs, t_in, t_k)
-
+            wq = dist_wq(lw)
+            nt_loc = n_local // t_in
+            tile_sums = wq.reshape(nt_loc, t_in).sum(axis=-1)
+            all_sums = jax.lax.all_gather(tile_sums, PARTICLE_AXIS,
+                                          tiled=True)  # (nt_total,)
+            cum_t = jnp.cumsum(all_sums)
+            q_tot = cum_t[-1]
+            base_loc = jax.lax.dynamic_slice_in_dim(
+                cum_t - all_sums, my * nt_loc, nt_loc)
             sl = my * n_local
-            t_s = jax.lax.dynamic_slice_in_dim(t_row, sl, n_local, 1)
-            tp_s = jax.lax.dynamic_slice_in_dim(tprev, sl, n_local, 1)
-            f_s = jax.lax.dynamic_slice_in_dim(f_row, sl, n_local, 1)
-            g_s = jax.lax.dynamic_slice_in_dim(g_row, sl, n_local, 1)
-            bc = rp.compact_particles(p[:, :n_local], t_s, tp_s, f_s,
-                                      g_s, t_in, t_k, interpret)
+            lane0 = sl + jnp.arange(nt_loc, dtype=jnp.int32) * t_in
+            bc, cnt_loc = rp.boundary_compact_particles(
+                p[:, :n_local], None, n_total, offs, t_in, t_k,
+                interpret, precomputed=(wq, base_loc, q_tot, lane0))
+            cnt = jax.lax.all_gather(cnt_loc, PARTICLE_AXIS, tiled=True)
+            ok_compact = jnp.max(cnt) <= t_k
             bc_all = jax.lax.all_gather(bc, PARTICLE_AXIS, axis=1,
                                         tiled=True)
             tc15 = jnp.concatenate(
@@ -308,6 +345,7 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
 
             return jax.lax.cond(bad_any, rs_gather, merge_path, (p, lw))
 
+        offs = jax.random.uniform(k_rs, dtype=jnp.float32)
         rs = (rs_merge if cfg.resample_method == "merge"
               else lambda p, lw: rs_gather((p, lw)))
         p_rows, lw_rows = jax.lax.cond(
