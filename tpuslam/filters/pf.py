@@ -139,9 +139,23 @@ def quantized_cum(weights):
     Returns ``(cum, total)`` in the input dtype.
     """
     total_w = jnp.sum(weights, axis=-1, keepdims=True)
-    wq = jnp.round(weights * (float(1 << 20) / total_w))
+    wq = quantize_weights_law(weights, total_w)
     cum = jnp.cumsum(wq, axis=-1)
     return cum, cum[..., -1:]
+
+
+def quantize_weights_law(weights, total):
+    """THE interval-resample quantization: integers of ``2^-20 * total``.
+
+    Single source of the scale/rounding expression every interval decode
+    shares - :func:`quantized_cum`, the fused Pallas pass-1
+    (``ops/resample_pallas.py::quantize_weights``), the sharded
+    distributed build (``parallel/rollouts.py``), and the wide batched
+    kernel.  Bit-parity of their selections (and the exact-integer
+    monotonicity the slot partition depends on) requires all of them to
+    quantize with literally this expression; change it here or nowhere.
+    """
+    return jnp.round(weights * (float(1 << 20) / total))
 
 
 def resample_indices(key, weights, method: str = "search"):

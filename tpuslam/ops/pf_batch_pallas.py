@@ -566,10 +566,12 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     offs = jax.random.uniform(k_rs, (b,), jnp.float32)
 
     # --- quantize per filter (the only O(B*N) XLA work) ----------------
+    from tpuslam.filters.pf import quantize_weights_law
+
     lw2 = state.log_w.reshape(b, np_)
     w_rows = jnp.exp(lw2 - state.lse[:, None])  # padded -inf -> 0
     total = jnp.sum(w_rows, axis=-1, keepdims=True)
-    wq = jnp.round(w_rows * (float(1 << 20) / total))
+    wq = quantize_weights_law(w_rows, total)
     tile_sums = wq.reshape(b, w_tiles, tile_n).sum(axis=-1)
     cum_t = jnp.cumsum(tile_sums, axis=-1)
     base = (cum_t - tile_sums).reshape(-1)  # (B*W,) exclusive
@@ -702,13 +704,18 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
     """``n_steps`` wide batched steps under ``lax.scan``."""
     state0 = pf_batch_wide_init(cfg, batch, tile_n)
     keys = jax.random.split(key, n_steps)
+    # Per-step seed stride >= the per-step grid-cell count, or the
+    # per-(filter, tile) on-core PRNG streams of consecutive steps
+    # overlap and "independent" filters share noise bit-for-bit.
+    w_tiles, _ = _wide_dims(cfg, tile_n)
+    stride = max(7919, batch * w_tiles)
 
     def body(carry, k):
         st, seed = carry
         st, out = pf_batch_wide_step(cfg, st, k, seed, tile_n=tile_n,
                                      noise_on=noise_on,
                                      interpret=interpret)
-        return (st, seed + 7919), out
+        return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(
         body, (state0, jnp.asarray(1, jnp.int32)), keys)

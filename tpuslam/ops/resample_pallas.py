@@ -477,9 +477,11 @@ def quantize_weights(w_row, n: int, t_in: int):
     total.  All sums of integers < 2**24 are order-independent in f32,
     so ``base[j] + in-tile prefix`` equals the global cumsum exactly.
     """
+    from tpuslam.filters.pf import quantize_weights_law
+
     n_pad = w_row.shape[1]
     total_w = jnp.sum(w_row, axis=-1, keepdims=True)
-    wq = jnp.round(w_row * (float(1 << 20) / total_w))
+    wq = quantize_weights_law(w_row, total_w)
     tile_sums = wq.reshape(n_pad // t_in, t_in).sum(axis=-1)
     cum_tiles = jnp.cumsum(tile_sums)
     base = cum_tiles - tile_sums  # exclusive

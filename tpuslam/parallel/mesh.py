@@ -66,26 +66,28 @@ def init_distributed(coordinator_address: str | None = None,
                      process_id: int | None = None) -> bool:
     """Initialize multi-process JAX (one process per host/slice).
 
-    On a real multi-slice deployment every host calls this before any
-    device use; ``jax.devices()`` then spans all slices and
-    :func:`make_multislice_mesh` lays the DCN axis over them.  Arguments
-    default to the standard env vars (``JAX_COORDINATOR_ADDRESS`` etc.)
-    via ``jax.distributed.initialize``'s own auto-detection; a
-    single-process environment (no coordinator configured) is a no-op.
+    On a real multi-slice deployment every host calls this FIRST - before
+    any ``jax.devices()`` / array op touches the backend
+    (``jax.distributed.initialize`` refuses to run afterwards); then
+    ``jax.devices()`` spans all slices and :func:`make_multislice_mesh`
+    lays the DCN axis over them.  Arguments default to
+    ``jax.distributed.initialize``'s own auto-detection (TPU pod
+    metadata, Slurm, the standard env vars); an environment without any
+    such configuration (CI, one slice, the CPU mesh) is a no-op.
 
     Returns True iff distributed mode is (now) active.
     """
-    import os
-
-    if jax.process_count() > 1:
-        return True  # already initialized
-    if coordinator_address is None and \
-            "JAX_COORDINATOR_ADDRESS" not in os.environ and \
-            "COORDINATOR_ADDRESS" not in os.environ:
-        return False  # single-process run (CI, one-slice, CPU mesh)
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        # No coordinator configured / nothing to auto-detect (the
+        # single-process case), or the backend was already initialized
+        # by earlier device use - either way: not distributed.
+        return False
     return jax.process_count() > 1
 
 
@@ -112,12 +114,14 @@ def make_multislice_mesh(n_slice: int, n_per_slice: int | None = None,
         try:
             from jax.experimental import mesh_utils
 
+            # Output shape is the elementwise product of the two
+            # per-axis shapes: (n_slice*1, 1*n_per_slice) - leading axis
+            # = DCN (slices), each row one slice's ICI-ordered chips.
             dev_array = mesh_utils.create_hybrid_device_mesh(
-                (n_per_slice,), (n_slice,), devices=devices[:want])
-            # hybrid layout: leading axis = DCN (slices).
+                (1, n_per_slice), (n_slice, 1), devices=devices[:want])
             return Mesh(dev_array, (SLICE_AXIS, inner_axis))
-        except Exception:
-            pass  # single-slice TPU or no multi-slice attrs: fall back
+        except ValueError:
+            pass  # single-slice TPU (no slice_index attrs): fall back
     devs = np.asarray(devices[:want]).reshape(n_slice, n_per_slice)
     return Mesh(devs, (SLICE_AXIS, inner_axis))
 

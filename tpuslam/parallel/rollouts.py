@@ -257,9 +257,11 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             quantization itself; both sharded interval paths share it,
             keeping hist/merge bit-parity.)
             """
+            from tpuslam.filters.pf import quantize_weights_law
+
             w_loc = jnp.exp(lw[:, :n_local] - lse)  # (1, n_local)
             total = jax.lax.psum(jnp.sum(w_loc), PARTICLE_AXIS)
-            return jnp.round(w_loc * (float(1 << 20) / total))
+            return quantize_weights_law(w_loc, total)
 
         def rs_gather(args):
             p, lw = args

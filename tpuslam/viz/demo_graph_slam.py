@@ -43,13 +43,14 @@ def _robot_cov(dist, bearing, scan_cfg):
 
 def render_frame(ax1, ax2, scene, graph_cfg, traj, poses_est, frames_out,
                  t):
+    from tpuslam.slam.frontend import observed_times_mask
+
     lm = np.asarray(scene.landmarks)
     actu = np.asarray(traj.poses_actu[:t + 1])
     # Reference getEstTrajPose (graph_based_slam.py:441-449): the estimated
     # trajectory is drawn only at observed times (isObs flag); unobserved
     # times hold raw odometry values the reference hides.
-    is_obs = np.asarray(traj.obs.valid[:t + 1]).any(axis=1)
-    is_obs[0] = True  # pose 0 always flagged observed (:343)
+    is_obs = np.asarray(observed_times_mask(traj.obs))[:t + 1]
     est = np.asarray(poses_est[:t + 1])[is_obs]
     pose = actu[-1]
     scan_cfg = graph_cfg.scan
