@@ -63,6 +63,24 @@ def bench_ekf_pallas(batch=2097152, steps=400):
     return batch * steps / dt
 
 
+def bench_ekf_sweeps(n_sweeps=64, batch=8192, steps=400):
+    """Latency-bound BASELINE config (8192 rollouts) amortized: K sweeps
+    in ONE program (ops/ekf_pallas.py::ekf_fused_sweeps) so the ~25 ms
+    per-call tunnel dispatch is paid once, not per sweep."""
+    from tpuslam.filters import EkfConfig
+    from tpuslam.ops import ekf_fused_sweeps
+
+    cfg = EkfConfig()
+
+    def fn(seed):
+        _, rmse = ekf_fused_sweeps(cfg, seed, n_sweeps=n_sweeps,
+                                   batch=batch, n_steps=steps)
+        return jnp.sum(rmse)
+
+    dt = _time_scalar(fn, 1)
+    return n_sweeps * batch * steps / dt
+
+
 def bench_pf(particles=100_000, steps=100):
     from tpuslam.filters import PfConfig, pf_rollout
 
@@ -213,6 +231,14 @@ def main():
         ekf_rate = bench_ekf_scan()
         path = "xla scan"
     print(f"# EKF ({path}): {ekf_rate:.3e} steps/s/chip", file=sys.stderr)
+    try:
+        sw_rate = bench_ekf_sweeps()
+        one_rate = bench_ekf_pallas(batch=8192, steps=400)
+        print(f"# EKF latency-bound config (8192x400): {one_rate:.3e} "
+              f"steps/s one sweep/call, {sw_rate:.3e} amortized "
+              f"(64 sweeps/program)", file=sys.stderr)
+    except Exception as e:
+        print(f"# EKF sweep-amortized bench failed: {e}", file=sys.stderr)
     try:
         scan_rate = bench_ekf_scan()
         print(f"# EKF (xla scan): {scan_rate:.3e} steps/s/chip",

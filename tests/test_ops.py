@@ -68,6 +68,23 @@ class TestEkfFusedKernel:
             ekf_fused_rollout(CFG, 0, batch=100, n_steps=5, tile_b=64,
                               interpret=True)
 
+    def test_multi_sweep_batching(self):
+        """ekf_fused_sweeps stacks K sweeps into one program; per-sweep
+        RMSE reduces over exactly that sweep's rollout slice (noise-free:
+        every sweep's slice equals the single-call rollout and RMSE=0)."""
+        from tpuslam.ops import ekf_fused_sweeps
+
+        final, rmse = ekf_fused_sweeps(CFG, 0, n_sweeps=3, batch=8,
+                                       n_steps=5, tile_b=8,
+                                       noise_on=False, interpret=True)
+        assert rmse.shape == (3,)
+        assert final.x_hat.shape == (24, 3)
+        np.testing.assert_allclose(np.asarray(rmse), 0.0, atol=1e-8)
+        one, _ = ekf_fused_rollout(CFG, 0, batch=8, n_steps=5, tile_b=8,
+                                   noise_on=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(final.x_hat[16:24]),
+                                   np.asarray(one.x_hat), atol=1e-6)
+
 
 class TestPfFusedKernel:
     def test_noise_free_matches_xla_path(self, rng):

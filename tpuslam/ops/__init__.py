@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the hot paths."""
 
-from tpuslam.ops.ekf_pallas import ekf_fused_rollout
+from tpuslam.ops.ekf_pallas import ekf_fused_rollout, ekf_fused_sweeps
 from tpuslam.ops.pf_pallas import (PfFusedState, pf_fused_init,
                                    pf_fused_predict_weight,
                                    pf_fused_predict_weight_stats,
@@ -14,7 +14,8 @@ from tpuslam.ops.pf_batch_pallas import (PfBatchOut, PfBatchState,
                                          pf_batch_wide_step)
 from tpuslam.ops.resample_pallas import merge_resample_rows
 
-__all__ = ["ekf_fused_rollout", "pf_fused_predict_weight",
+__all__ = ["ekf_fused_rollout", "ekf_fused_sweeps",
+           "pf_fused_predict_weight",
            "pf_fused_predict_weight_stats", "PfFusedState",
            "pf_fused_init", "pf_fused_to_state", "pf_fused_step",
            "pf_fused_step_stats", "pf_fused_rollout",

@@ -296,3 +296,31 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
     if with_nees:
         return final, err[0], err[1]
     return final, err[0]
+
+
+def ekf_fused_sweeps(cfg: EkfConfig, seed, n_sweeps: int, batch: int,
+                     n_steps: int, tile_b: int = 2048,
+                     noise_on: bool = True, interpret: bool = False):
+    """Run ``n_sweeps`` independent Monte-Carlo sweeps in ONE program.
+
+    Amortizes the per-program dispatch cost across sweeps: on the
+    tunneled v5e a jit call costs ~25 ms, which dominates a single
+    latency-bound sweep (8192 rollouts x 400 steps is a ~28 ms job, so
+    one sweep per call runs at ~1e8 steps/s while the same shape inside
+    a large program runs at ~2.8e9).  Stacking K sweeps into one kernel
+    launch cuts the dispatch share to 25/K ms per sweep.
+
+    Each sweep gets independent PRNG streams (the kernel folds the tile
+    id into the seed and draws per-lane bits, so disjoint rollout slices
+    never share draws).
+
+    Returns:
+        ``(EkfState, rmse)``: final state (pytree of
+        ``(n_sweeps * batch, ...)`` arrays, sweep-major) and the
+        ``(n_sweeps,)`` per-sweep position RMSE.
+    """
+    final, err = ekf_fused_rollout(
+        cfg, seed, batch=n_sweeps * batch, n_steps=n_steps,
+        tile_b=min(tile_b, batch), noise_on=noise_on, interpret=interpret)
+    rmse = jnp.sqrt(err.reshape(n_sweeps, batch).mean(axis=1) / n_steps)
+    return final, rmse
