@@ -194,38 +194,54 @@ def wide_batch_bench(batch, particles, steps):
 
 
 def main():
+    # Section selection: `python tpu_round2_measure.py [pf wide micro
+    # graph demo]` - default all.  Lets a hung section be excluded on
+    # re-runs (the tunnel wedges ~1 h if a client is killed mid-flight).
+    sections = set(sys.argv[1:]) or {"pf", "wide", "micro", "graph",
+                                     "demo"}
     print("device:", jax.devices()[0], flush=True)
+
+    if "graph" in sections:
+        for relin in (False, True):
+            dt, iters = graph_10k(relin)
+            print(f"graph 10k CR solve, relinearize_omega={relin}: "
+                  f"{dt:.3f} s, {iters:.0f} GN iters", flush=True)
+
+    if "demo" in sections:
+        for guard in ("cheap", "full"):
+            dt = demo_course(guard)
+            print(f"demo course 18 frames, guard={guard}: "
+                  f"{dt*1e3:.1f} ms", flush=True)
+
+    if "pf" not in sections and "wide" not in sections \
+            and "micro" not in sections:
+        return
 
     fused_equality_smoke()
 
-    for fused in (True, False):
-        rate, dt = pf_rollout_bench(1_000_000, 100, fused)
-        print(f"PF 1M fused rollout, boundary fused={fused}: "
-              f"{rate:.3e} particle-steps/s ({dt*1e3/100:.2f} ms/step)",
-              flush=True)
+    if "pf" in sections:
+        for fused in (True, False):
+            rate, dt = pf_rollout_bench(1_000_000, 100, fused)
+            print(f"PF 1M fused rollout, boundary fused={fused}: "
+                  f"{rate:.3e} particle-steps/s "
+                  f"({dt*1e3/100:.2f} ms/step)", flush=True)
 
-    for batch, parts in ((128, 10_000), (1024, 10_000), (64, 100_000)):
-        try:
-            rate = wide_batch_bench(batch, parts, 100)
-            print(f"PF wide batch {batch}x{parts}: "
-                  f"{rate:.3e} particle-steps/s", flush=True)
-        except Exception as e:
-            print(f"PF wide batch {batch}x{parts} failed: {e}",
-                  flush=True)
+    if "wide" in sections:
+        for batch, parts in ((128, 10_000), (1024, 10_000),
+                             (64, 100_000)):
+            try:
+                rate = wide_batch_bench(batch, parts, 100)
+                print(f"PF wide batch {batch}x{parts}: "
+                      f"{rate:.3e} particle-steps/s", flush=True)
+            except Exception as e:
+                print(f"PF wide batch {batch}x{parts} failed: {e}",
+                      flush=True)
 
-    for fused in (True, False):
-        dt = resample_micro(1_000_000, 1 << 20, fused)
-        print(f"merge resample 1M isolated, fused={fused}: "
-              f"{dt*1e3:.2f} ms/resample", flush=True)
-
-    for relin in (False, True):
-        dt, iters = graph_10k(relin)
-        print(f"graph 10k CR solve, relinearize_omega={relin}: "
-              f"{dt:.3f} s, {iters:.0f} GN iters", flush=True)
-
-    for guard in ("cheap", "full"):
-        dt = demo_course(guard)
-        print(f"demo course 18 frames, guard={guard}: {dt*1e3:.1f} ms", flush=True)
+    if "micro" in sections:
+        for fused in (True, False):
+            dt = resample_micro(1_000_000, 1 << 20, fused)
+            print(f"merge resample 1M isolated, fused={fused}: "
+                  f"{dt*1e3:.2f} ms/resample", flush=True)
 
 
 if __name__ == "__main__":

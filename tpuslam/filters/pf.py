@@ -158,6 +158,28 @@ def quantize_weights_law(weights, total):
     return jnp.round(weights * (float(1 << 20) / total))
 
 
+def boundary_law(cum, inv_tot, n, offs):
+    """THE slot-boundary law: ``t = ceil(n * (cum * inv_tot) - offs)``.
+
+    ``inv_tot`` is the reciprocal of the quantized total, computed ONCE
+    (in XLA) and shared by every decode of the same weights.  The law
+    contains multiplies and a subtract only - NO division: an f32
+    division is a multi-instruction reciprocal+refine sequence whose
+    rounding Mosaic and XLA are free to implement differently (observed
+    on v5e: the in-kernel ``cum / q_tot`` law diverged from the XLA
+    decode on ~1-per-thousand lanes), while a single f32 multiply is one
+    correctly-rounded hardware op on both compilers.  Sharing one
+    ``inv_tot`` therefore makes kernel and XLA evaluations bit-identical
+    AND keeps the boundary monotone in ``cum`` under either lowering
+    (each op is monotone; an fma contraction of ``mul-sub`` is monotone
+    too), which the interval expansion's no-double-cover proof needs.
+
+    Callers clip/force afterwards; ``cum`` must be the exact-integer
+    quantized cumsum (:func:`quantized_cum`).
+    """
+    return jnp.ceil(n * (cum * inv_tot) - offs)
+
+
 def resample_indices(key, weights, method: str = "search"):
     """Systematic-resampling index selection (see
     :func:`systematic_resample`); returns the ``(N,)`` gather indices."""
@@ -167,7 +189,7 @@ def resample_indices(key, weights, method: str = "search"):
         method = "hist"
     if method == "hist":
         cumq, q_tot = quantized_cum(weights)
-        cum = cumq / q_tot
+        inv_tot = 1.0 / q_tot
         # t_j = ceil(n * cum_j - offs); out_idx[i] = #{j : t_j <= i}
         #     = searchsorted(cum, (i + offs)/n, 'left') for float-generic
         # inputs.  Computed as a LAST-OCCURRENCE scatter + forward-fill
@@ -178,7 +200,7 @@ def resample_indices(key, weights, method: str = "search"):
         # scatter-set + associative cummax is ~2.5x cheaper than a
         # colliding scatter-add, whose duplicate handling serializes
         # (measured in scripts/tpu_resample_micro*.py).
-        t = jnp.ceil(n * cum - offs).astype(jnp.int32)
+        t = boundary_law(cumq, inv_tot, n, offs).astype(jnp.int32)
         t = jnp.clip(t, 0, n)
         last = jnp.concatenate([t[:-1] != t[1:], jnp.ones((1,), bool)])
         tgt = jnp.where(last, t, n)  # non-last duplicates / t==n dropped

@@ -54,11 +54,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuslam.filters.pf import PfConfig
+from tpuslam.filters.pf import PfConfig, boundary_law
 from tpuslam.models.process import circular_step
 from tpuslam.core.se2 import world_to_robot
 from tpuslam.ops.pf_pallas import _predict_loglik
-from tpuslam.ops.resample_pallas import split3
+from tpuslam.ops.resample_pallas import split3_kernel
 
 
 class PfBatchState(typing.NamedTuple):
@@ -164,7 +164,7 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
         # quantize to zero slots - statistically negligible.
         w = jnp.exp(lw_norm)  # padding lanes 0
         wq = jnp.round(w * float(1 << 20))  # integers in [0, 2^20]
-        wh, wm, wl = split3(wq)
+        wh, wm, wl = split3_kernel(wq)
         w3 = jnp.concatenate([wh, wm, wl], axis=0)  # (3, P) bf16
         cum_i3 = jax.lax.dot_general(
             w3, lt_inc_ref[:, :], (((1,), (0,)), ((), ())),
@@ -175,10 +175,15 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
         cum_i = cum_i3[0:1] + cum_i3[1:2] + cum_i3[2:3]
         cum_e = cum_e3[0:1] + cum_e3[1:2] + cum_e3[2:3]
         q_tot = jnp.max(cum_i)  # exact integer total (monotone cumsum)
-        t_hi = jnp.clip(jnp.ceil(n * (cum_i / q_tot) - offs), 0.0,
+        # ONE reciprocal, then the shared multiply-only law: a single
+        # f32 multiply is monotone in `cum` under any lowering, so the
+        # no-overlap interval chaining holds regardless of how Mosaic
+        # rounds the reciprocal itself (filters/pf.py::boundary_law).
+        inv_tot = 1.0 / q_tot
+        t_hi = jnp.clip(boundary_law(cum_i, inv_tot, n, offs), 0.0,
                         float(n))
         t_hi = jnp.where(lane >= n - 1, float(n), t_hi)
-        t_lo = jnp.clip(jnp.ceil(n * (cum_e / q_tot) - offs), 0.0,
+        t_lo = jnp.clip(boundary_law(cum_e, inv_tot, n, offs), 0.0,
                         float(n))
         t_lo = jnp.where(lane >= n, float(n), t_lo)
 
@@ -186,7 +191,7 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
             .astype(jnp.float32)
         msk = ((i_sub >= t_lo) & (i_sub < t_hi)).astype(jnp.bfloat16)
         # Split-major value rows: [x y yaw]_hi, _mid, _lo.
-        vh, vm, vl = split3(p_ref[:, :])
+        vh, vm, vl = split3_kernel(p_ref[:, :])
         v9 = jnp.concatenate([vh, vm, vl], axis=0)  # (9, P) bf16
         part = jax.lax.dot_general(
             v9, msk, (((1,), (1,)), ((), ())),
@@ -374,66 +379,37 @@ def pf_batch_wide_init(cfg: PfConfig, batch: int,
         lse=lse, lse2=lse, x_est=jnp.tile(x0[None], (batch, 1)))
 
 
-def _wide_compact_kernel(base_ref, qtot_ref, offs_ref, fire_ref, p_ref,
-                         wq_ref, out_ref, cnt_ref, *, t_k: int, n: int,
-                         w_tiles: int):
-    """Pass A, grid (B, W): per-(filter, tile) boundary + compaction."""
+def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
+                         valid_ref, p_ref, wq_ref, out_ref, cnt_ref, *,
+                         t_k: int, n: int, w_tiles: int):
+    """Pass A, grid (CAP, W): per-(firing-slot, tile) boundary + compact.
+
+    The grid runs over compacted FIRING-FILTER SLOTS, not filters: slot
+    ``c`` reads filter ``fids[c]``'s tiles through the prefetched index
+    map, so non-firing filters cost nothing (the old (B, W) grid paid a
+    grid step per filter-tile every step even when gated off - the
+    dominant cost at B >= 1024).  Padded slots (``c >= n_fire``) read
+    filter 0 harmlessly and write ``cnt = 0``, which excludes their
+    window blocks from the skip table.
+    """
     from tpuslam.ops.resample_pallas import tile_boundary_compact
 
-    f = pl.program_id(0)
+    c = pl.program_id(0)
     w = pl.program_id(1)
     t_in = wq_ref.shape[1]
-    tid = f * w_tiles + w
+    sid = c * w_tiles + w
 
-    @pl.when(fire_ref[f] > 0)
+    @pl.when(valid_ref[c] > 0)
     def _go():
         out, cnt = tile_boundary_compact(
-            wq_ref[0:1, :], p_ref[:, :], base_ref[tid], qtot_ref[f],
-            offs_ref[f], w * t_in, n, t_k)
+            wq_ref[0:1, :], p_ref[:, :], base_ref[sid], inv_ref[c],
+            offs_ref[c], w * t_in, n, t_k)
         out_ref[:, :] = out
-        cnt_ref[0, tid] = cnt.astype(jnp.int32)
+        cnt_ref[0, sid] = cnt.astype(jnp.int32)
 
-    @pl.when(fire_ref[f] <= 0)
+    @pl.when(valid_ref[c] <= 0)
     def _skip():
-        cnt_ref[0, tid] = 0
-
-
-def _wide_expand_kernel(cnt_ref, fire_ref, tc_ref, out_ref, *,
-                        t_out: int, wb2: int, w_tiles: int, t_k: int):
-    """Pass B, grid (B, Wout, NB): interval expansion, occupancy-skipped.
-
-    Window block ``blk`` of filter ``f`` is tile ``blk // nw``'s
-    sub-block ``blk % nw``; it holds survivors iff the tile's count
-    exceeds ``(blk % nw) * wb2``.  Out tiles are revisited across blk.
-    """
-    f = pl.program_id(0)
-    b_out = pl.program_id(1)
-    blk = pl.program_id(2)
-    nw = t_k // wb2
-
-    @pl.when(blk == 0)
-    def _reset():
-        out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
-
-    occupied = cnt_ref[0, f * w_tiles + blk // nw] > (blk % nw) * wb2
-
-    @pl.when(occupied & (fire_ref[f] > 0))
-    def _accumulate():
-        t_hi = (tc_ref[9:10, :].astype(jnp.float32)
-                + tc_ref[10:11, :].astype(jnp.float32)
-                + tc_ref[11:12, :].astype(jnp.float32))  # (1, wb2)
-        t_lo = (tc_ref[12:13, :].astype(jnp.float32)
-                + tc_ref[13:14, :].astype(jnp.float32)
-                + tc_ref[14:15, :].astype(jnp.float32))
-        i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
-             + b_out * t_out).astype(jnp.float32)
-        m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            tc_ref[0:9, :], m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (9, t_out)
-        out_ref[:, :] += jnp.concatenate(
-            [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
-             + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0)
+        cnt_ref[0, sid] = 0
 
 
 def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
@@ -524,29 +500,49 @@ def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
-                                             "interpret"))
+                                             "interpret", "fire_cap",
+                                             "w_b"))
 def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                        tile_n: int = 1024, noise_on: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       fire_cap: int | None = None, w_b: int = 4):
     """One step of B wide filters (main_pf order: resample -> predict ->
     observe -> weight -> estimate).
 
     The per-filter ESS gate reads the carried normalizers (no weight
-    materialization); firing filters resample through the two-pass
-    in-kernel merge (selection bit-identical per filter to the
-    hist/merge law on the same quantized weights); a global
-    ``lax.cond`` falls back to the vmapped XLA decode in the (rare)
-    over-cap case.
+    materialization).  Firing filters are COMPACTED into ``fire_cap``
+    slots and only those slots run the two-pass in-kernel merge: pass A
+    over ``(fire_cap, W)`` grid cells, pass B through the same skip-table
+    expand as the single-filter merge kernel
+    (:func:`tpuslam.ops.resample_pallas.expand_compacted`) over
+    ``(fire_cap * W, w_b)`` cells in slot space.  The previous dense
+    ``(B, W, W * nw)`` pass-B grid paid ~2e5 grid steps per step at
+    1024x10k (measured 1.6e8 particle-steps/s, DOWN from 2.7e8 at
+    128x10k - grid overhead, not compute) and ~1.2e6 at 64x100k.
+    Selection is bit-identical per filter to the hist/merge law on the
+    same quantized weights; a global ``lax.cond`` falls back to the
+    vmapped XLA decode when ``n_fire > fire_cap`` or a tile/window cap
+    overflows, and the whole resample is skipped when no filter fires.
+
+    Args:
+        fire_cap: static max simultaneously-firing filters served by the
+            kernel path (default ``max(8, B // 16)``; overflow -> XLA
+            fallback, correctness unaffected).
+        w_b: skip-table window blocks per output tile (out tiles whose
+            survivors span more fall back).
     """
     from tpuslam.ops.resample_pallas import (decode_indices,
-                                             slot_boundaries)
+                                             expand_compacted,
+                                             inert_tail, slot_boundaries)
 
     w_tiles, np_ = _wide_dims(cfg, tile_n)
     b = state.particles.shape[1] // np_
     n = cfg.num_particles
     t_k = min(256, tile_n)
     wb2 = min(128, t_k)
-    nw_blocks = w_tiles * (t_k // wb2)
+    nw = t_k // wb2
+    cap = (fire_cap if fire_cap is not None
+           else max(1, min(b, max(8, b // 16))))
 
     k_rs, k_obs = jax.random.split(key)
     x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
@@ -565,95 +561,138 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
     offs = jax.random.uniform(k_rs, (b,), jnp.float32)
 
-    # --- quantize per filter (the only O(B*N) XLA work) ----------------
-    from tpuslam.filters.pf import quantize_weights_law
-
-    lw2 = state.log_w.reshape(b, np_)
-    w_rows = jnp.exp(lw2 - state.lse[:, None])  # padded -inf -> 0
-    total = jnp.sum(w_rows, axis=-1, keepdims=True)
-    wq = quantize_weights_law(w_rows, total)
-    tile_sums = wq.reshape(b, w_tiles, tile_n).sum(axis=-1)
-    cum_t = jnp.cumsum(tile_sums, axis=-1)
-    base = (cum_t - tile_sums).reshape(-1)  # (B*W,) exclusive
-    q_tot = cum_t[:, -1]
-    wq_rows = wq.reshape(1, b * np_)
     fire_i = fire.astype(jnp.int32)
+    pos = jnp.cumsum(fire_i) - fire_i  # firing slot of filter f
+    n_fire = jnp.sum(fire_i)
 
-    # --- pass A: compact ----------------------------------------------
-    tc, cnt = pl.pallas_call(
-        functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
-                          w_tiles=w_tiles),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(b, w_tiles),
-            in_specs=[
-                pl.BlockSpec((3, tile_n),
-                             lambda f, w, *_: (0, f * w_tiles + w),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_n),
-                             lambda f, w, *_: (0, f * w_tiles + w),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((15, t_k),
-                             lambda f, w, *_: (0, f * w_tiles + w),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((15, b * w_tiles * t_k), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, b * w_tiles), jnp.int32),
-        ],
-        interpret=interpret,
-    )(base.astype(jnp.float32), q_tot.astype(jnp.float32), offs,
-      fire_i, state.particles, wq_rows)
-    ok = jnp.max(jnp.where(fire[:, None], cnt.reshape(b, w_tiles), 0)
-                 ) <= t_k
+    def fire_path(_):
+        # --- quantize per filter (the only O(B*N) XLA work) ------------
+        from tpuslam.filters.pf import quantize_weights_law
 
-    # --- pass B: expand ------------------------------------------------
-    def kernel_path(_):
-        out = pl.pallas_call(
-            functools.partial(_wide_expand_kernel, t_out=tile_n,
-                              wb2=wb2, w_tiles=w_tiles, t_k=t_k),
+        lw2 = state.log_w.reshape(b, np_)
+        w_rows = jnp.exp(lw2 - state.lse[:, None])  # padded -inf -> 0
+        total = jnp.sum(w_rows, axis=-1, keepdims=True)
+        wq = quantize_weights_law(w_rows, total)
+        tile_sums = wq.reshape(b, w_tiles, tile_n).sum(axis=-1)
+        cum_t = jnp.cumsum(tile_sums, axis=-1)
+        base = cum_t - tile_sums  # (B, W) exclusive
+        q_tot = cum_t[:, -1]
+
+        # --- firing-filter slot compaction -----------------------------
+        tgt = jnp.where(fire, pos, cap)
+        fids = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+            jnp.arange(b, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        valid_slot = (jnp.arange(cap, dtype=jnp.int32)
+                      < n_fire).astype(jnp.int32)
+        base_slot = base[fids].reshape(-1)  # (CAP*W,)
+        inv_slot = 1.0 / q_tot.astype(jnp.float32)[fids]
+        offs_slot = offs[fids]
+        wq_rows = wq.reshape(1, b * np_)
+
+        # --- pass A: compact (slots only) ------------------------------
+        tc, cnt = pl.pallas_call(
+            functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
+                              w_tiles=w_tiles),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(b, w_tiles, nw_blocks),
-                in_specs=[pl.BlockSpec(
-                    (15, wb2),
-                    lambda f, bo, blk, *_: (0, f * nw_blocks + blk),
-                    memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(
-                    (3, tile_n),
-                    lambda f, bo, blk, *_: (0, f * w_tiles + bo),
-                    memory_space=pltpu.VMEM),
+                num_scalar_prefetch=5,
+                grid=(cap, w_tiles),
+                in_specs=[
+                    pl.BlockSpec(
+                        (3, tile_n),
+                        lambda c, w, fids, *_: (0, fids[c] * w_tiles + w),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, tile_n),
+                        lambda c, w, fids, *_: (0, fids[c] * w_tiles + w),
+                        memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((15, t_k),
+                                 lambda c, w, *_: (0, c * w_tiles + w),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
             ),
-            out_shape=jax.ShapeDtypeStruct((3, b * np_), jnp.float32),
+            out_shape=[
+                jax.ShapeDtypeStruct((15, cap * w_tiles * t_k),
+                                     jnp.bfloat16),
+                jax.ShapeDtypeStruct((1, cap * w_tiles), jnp.int32),
+            ],
             interpret=interpret,
-        )(cnt, fire_i, tc)
-        return out
+        )(fids, base_slot.astype(jnp.float32), inv_slot, offs_slot,
+          valid_slot, state.particles, wq_rows)
+        cnt = cnt[0]
 
-    def xla_path(_):
-        def one(wr, of):
-            t_row = slot_boundaries(wr[None, :], n, of)
-            idx = decode_indices(t_row, n)
-            return idx
-        idxs = jax.vmap(one)(w_rows, offs)  # (B, n)
-        p3 = state.particles.reshape(3, b, np_)
-        out = jnp.zeros((3, b, np_), jnp.float32)
-        taken = jnp.take_along_axis(
-            p3, idxs[None, :, :], axis=2)  # (3, B, n) via clip? idx < n
-        out = out.at[:, :, :n].set(taken)
-        return out.reshape(3, b * np_)
+        # --- skip table over slot space (cf. resample_pallas.skip_table:
+        # same construction with a per-slot key offset so one searchsorted
+        # serves all firing filters) ------------------------------------
+        n_comp_max = cap * w_tiles * nw
+        n_blk = n_comp_max + w_b
+        occ = (cnt[:, None]
+               > jnp.arange(nw, dtype=jnp.int32)[None, :] * wb2)
+        nonempty = occ.reshape(-1).astype(jnp.int32)
+        cpos = jnp.cumsum(nonempty) - nonempty
+        btgt = jnp.where(nonempty > 0, cpos, n_blk)
+        blk_ids = jnp.full((n_blk,), n_comp_max, jnp.int32).at[btgt].set(
+            jnp.arange(n_comp_max, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        tc15t = jnp.concatenate([tc, inert_tail(n, w_b, wb2)], axis=1)
+        tc_hi = (tc15t[9].astype(jnp.float32)
+                 + tc15t[10].astype(jnp.float32)
+                 + tc15t[11].astype(jnp.float32))
+        tb_last = tc_hi[(blk_ids + 1) * wb2 - 1].astype(jnp.int32)
+        stride = np_ + 1  # > any local slot id or boundary (<= n <= np_)
+        blk_slot = blk_ids // (w_tiles * nw)  # padded -> cap (tail keys)
+        bkey = blk_slot * stride + tb_last
+        ot = jnp.arange(cap * w_tiles, dtype=jnp.int32)
+        i0_loc = (ot % w_tiles) * tile_n
+        q0 = (ot // w_tiles) * stride + i0_loc
+        q1 = q0 + tile_n - 1
+        sb_raw = jnp.searchsorted(bkey, q0, side="right").astype(jnp.int32)
+        le = jnp.searchsorted(bkey, q1, side="right").astype(jnp.int32)
+        sb = jnp.clip(sb_raw, 0, n_blk - w_b)
+        span = jnp.clip(le - sb + 1, 1, w_b)
+        valid_out = (ot // w_tiles) < n_fire
+        need = jnp.where(valid_out, le - sb_raw + 1, 1)
+        ok = ((n_fire <= cap) & (jnp.max(cnt) <= t_k)
+              & (jnp.max(need) <= w_b))
 
-    resampled = jax.lax.cond(ok, kernel_path, xla_path, 0)
+        # --- pass B: skip-table expand in slot space -------------------
+        def kernel_path(_):
+            out = expand_compacted(tc15t, sb, span, blk_ids, i0_loc,
+                                   cap * np_, tile_n, wb2, w_b,
+                                   interpret=interpret)
+            rs3 = out.reshape(3, cap, np_)
+            src = jnp.clip(pos, 0, cap - 1)
+            return jnp.take(rs3, src, axis=1).reshape(3, b * np_)
 
-    # --- per-filter select + weight reset ------------------------------
-    fire_lane = jnp.repeat(fire, np_)[None, :]
-    particles_in = jnp.where(fire_lane, resampled, state.particles)
-    lane_valid = (jnp.arange(np_) < n)
-    uni = jnp.where(lane_valid, 0.0, -jnp.inf)[None, :]
-    lw_in = jnp.where(fire_lane, jnp.tile(uni, (1, b)), state.log_w)
+        def xla_path(_):
+            def one(wr, of):
+                t_row = slot_boundaries(wr[None, :], n, of)
+                idx = decode_indices(t_row, n)
+                return idx
+            idxs = jax.vmap(one)(w_rows, offs)  # (B, n)
+            p3 = state.particles.reshape(3, b, np_)
+            out = jnp.zeros((3, b, np_), jnp.float32)
+            taken = jnp.take_along_axis(
+                p3, idxs[None, :, :], axis=2)  # (3, B, n)
+            out = out.at[:, :, :n].set(taken)
+            return out.reshape(3, b * np_)
+
+        resampled = jax.lax.cond(ok, kernel_path, xla_path, 0)
+        fire_lane = jnp.repeat(fire, np_)[None, :]
+        particles_in = jnp.where(fire_lane, resampled, state.particles)
+        lane_valid = (jnp.arange(np_) < n)
+        uni = jnp.where(lane_valid, 0.0, -jnp.inf)[None, :]
+        lw_in = jnp.where(fire_lane, jnp.tile(uni, (1, b)), state.log_w)
+        return particles_in, lw_in
+
+    def no_fire_path(_):
+        return state.particles, state.log_w
+
+    particles_in, lw_in = jax.lax.cond(n_fire > 0, fire_path,
+                                       no_fire_path, 0)
     flag = jnp.where(bad & ~fire, 1.0, 0.0)
 
     # --- pass C: predict + weight + stats ------------------------------
@@ -700,7 +739,8 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
 
 def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           tile_n: int = 1024, noise_on: bool = True,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          fire_cap: int | None = None, w_b: int = 4):
     """``n_steps`` wide batched steps under ``lax.scan``."""
     state0 = pf_batch_wide_init(cfg, batch, tile_n)
     keys = jax.random.split(key, n_steps)
@@ -714,7 +754,8 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         st, seed = carry
         st, out = pf_batch_wide_step(cfg, st, k, seed, tile_n=tile_n,
                                      noise_on=noise_on,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     fire_cap=fire_cap, w_b=w_b)
         return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(

@@ -108,10 +108,10 @@ def slot_boundaries(w_row, n: int, offs):
     Returns:
         ``(1, n_pad)`` int32 non-decreasing boundaries in ``[0, n]``.
     """
-    from tpuslam.filters.pf import quantized_cum
+    from tpuslam.filters.pf import boundary_law, quantized_cum
 
     cumq, q_tot = quantized_cum(w_row.astype(jnp.float32))
-    t = jnp.ceil(n * (cumq / q_tot) - offs).astype(jnp.int32)
+    t = boundary_law(cumq, 1.0 / q_tot, n, offs).astype(jnp.int32)
     t = jnp.clip(t, 0, n)
     lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
     return jnp.where(lane >= n - 1, n, t)
@@ -126,9 +126,11 @@ def slot_boundaries_from_wq(wq_row, n: int, offs):
     sharded path's psum-of-local-sums - gets boundaries bit-identical
     to any other evaluation of the same ``wq``.
     """
+    from tpuslam.filters.pf import boundary_law
+
     cum = jnp.cumsum(wq_row, axis=-1)
     q_tot = cum[..., -1:]
-    t = jnp.ceil(n * (cum / q_tot) - offs).astype(jnp.int32)
+    t = boundary_law(cum, 1.0 / q_tot, n, offs).astype(jnp.int32)
     t = jnp.clip(t, 0, n)
     lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
     return jnp.where(lane >= n - 1, n, t)
@@ -155,7 +157,41 @@ def split3(x):
     """Exact 3-way bf16 split of f32: returns bf16 parts with
     ``hi + mid + lo == x`` exactly in f32 (24 = 3 x 8 mantissa bits;
     both residuals are exactly representable - bf16 shares f32's
-    exponent range, so no underflow)."""
+    exponent range, so no underflow).
+
+    XLA-SIDE ONLY.  The rounding MUST go through
+    ``lax.reduce_precision`` (bit-identical to the hardware f32->bf16
+    RN-even convert), NOT an ``astype`` round-trip: XLA's
+    excess-precision folding deletes f32->bf16->f32 convert pairs on
+    TPU, which zeroes the residual rows and silently degrades every
+    value carried through an XLA-side split stack to bf16 (measured on
+    v5e: the unfused pass-1 stack's mid/lo rows came back all-zero and
+    resampled particles were bf16-rounded - scripts/tpu_parity_probe2.py).
+    ``reduce_precision`` is the barrier XLA guarantees never to fold.
+    Inside Pallas kernels use :func:`split3_kernel` instead
+    (``reduce_precision`` has no Mosaic lowering).
+    """
+    x = x.astype(jnp.float32)
+    hi = jax.lax.reduce_precision(x, 8, 7)  # bf16 RN-even, in f32
+    r = x - hi
+    mid = jax.lax.reduce_precision(r, 8, 7)
+    lo = r - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def split3_kernel(x):
+    """Mosaic twin of :func:`split3` for use INSIDE Pallas kernels.
+
+    ``reduce_precision`` has no Mosaic lowering; the ``astype``
+    round-trip is safe here because Mosaic lowers each convert to the
+    real hardware instruction and does not fold convert pairs (verified
+    on v5e: the fused pass-1 stack carries correct nonzero mid/lo
+    residual rows - scripts/tpu_parity_probe2.py - while the same
+    astype form on the XLA side came back folded).  Both converts are
+    RN-even, so the two functions produce bit-identical splits of the
+    same input.
+    """
     x = x.astype(jnp.float32)
     hi = x.astype(jnp.bfloat16)
     r = x - hi.astype(jnp.float32)
@@ -362,7 +398,7 @@ def _strict_lt(t_in: int, dtype=jnp.bfloat16):
     return (r < c).astype(dtype)
 
 
-def tile_boundary_compact(wq, p3, base, q_tot, offs, lane0, n: int,
+def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
                           t_k: int):
     """Shared tile body: boundaries from an exact prefix + compaction.
 
@@ -374,7 +410,10 @@ def tile_boundary_compact(wq, p3, base, q_tot, offs, lane0, n: int,
         p3: ``(3, t_in)`` particle rows.
         base: scalar exclusive integer prefix of all earlier tiles
             (within this tile's filter).
-        q_tot / offs: the filter's exact total and comb offset.
+        inv_tot: XLA-computed reciprocal of the filter's exact total
+            (see :func:`tpuslam.filters.pf.boundary_law` - the kernel
+            must NOT divide; it multiplies by this shared scalar).
+        offs: the filter's comb offset.
         lane0: first global (within-filter) lane id of this tile.
         n: the filter's valid particle count.
 
@@ -382,7 +421,7 @@ def tile_boundary_compact(wq, p3, base, q_tot, offs, lane0, n: int,
         ``(out_block (15, t_k) bf16, cnt scalar f32)``.
     """
     t_in = wq.shape[1]
-    wh, wm, wl = split3(wq)
+    wh, wm, wl = split3_kernel(wq)
     lt = _strict_lt(t_in)
     # Prefix orientation: contracting against M's FIRST axis gives
     # out[c] = sum_r v[r] * (r < c) - the strict (exclusive) prefix.
@@ -397,7 +436,9 @@ def tile_boundary_compact(wq, p3, base, q_tot, offs, lane0, n: int,
     nf = jnp.float32(n)
 
     def bound(cum, force_ge):
-        t = jnp.ceil(nf * (cum / q_tot) - offs)
+        from tpuslam.filters.pf import boundary_law
+
+        t = boundary_law(cum, inv_tot, nf, offs)
         t = jnp.clip(t, 0.0, nf)
         return jnp.where(lane >= force_ge, nf, t)
 
@@ -417,7 +458,7 @@ def tile_boundary_compact(wq, p3, base, q_tot, offs, lane0, n: int,
 
     # Value stack built in-kernel: [x y yaw t_hi t_lo] x [hi mid lo].
     stack5 = jnp.concatenate([p3, t_hi, t_lo], axis=0)
-    hml = split3(stack5)  # 3 x (5, t_in) bf16
+    hml = split3_kernel(stack5)  # 3 x (5, t_in) bf16
     vals = jnp.stack(hml, axis=1).reshape(_ROWS, t_in)
     compact = jax.lax.dot_general(
         vals, sel, (((1,), (1,)), ((), ())),
@@ -447,10 +488,12 @@ def _boundary_compact_kernel(base_ref, par_ref, lane0_ref, p_ref, wq_ref,
     split parts of integers are integers, products with a 0/1 matrix are
     exact, the f32 accumulator sums integers exactly), so
     ``base + in-tile cumsum`` reproduces the global cumsum bit-for-bit.
-    The boundary law ``t = ceil(n * (cum / q_tot) - offs)`` is the same
-    f32 expression the XLA hist decode evaluates on the same exact
-    integers -> identical selection (the batch kernel relies on the same
-    Mosaic/XLA agreement, ops/pf_batch_pallas.py:178).
+    The boundary law (:func:`tpuslam.filters.pf.boundary_law`) is the
+    same multiply-only f32 expression the XLA hist decode evaluates on
+    the same exact integers and the same XLA-computed reciprocal ->
+    identical selection.  (The original in-kernel ``cum / q_tot`` form
+    was NOT: Mosaic's f32 division rounds differently from XLA's on
+    ~1e-3 of lanes - measured on v5e, scripts/tpu_parity_probe.py.)
 
     Outputs: the compacted ``(15, t_k)`` bf16 block (same layout and
     inert-fill convention as :func:`_compact_kernel`) and the tile's
@@ -514,8 +557,11 @@ def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
         lane0 = jnp.arange(nt_in, dtype=jnp.int32) * t_in
     else:
         wq, base, q_tot, lane0 = precomputed
-    params = jnp.stack([q_tot.astype(jnp.float32),
-                        offs.astype(jnp.float32)])
+    # The shared reciprocal: computed HERE (XLA), multiplied inside the
+    # kernel - see filters/pf.py::boundary_law for why dividing in the
+    # kernel breaks bit-parity with the XLA decode.
+    inv_tot = 1.0 / q_tot.astype(jnp.float32)
+    params = jnp.stack([inv_tot, offs.astype(jnp.float32)])
     tc, cnt = pl.pallas_call(
         functools.partial(_boundary_compact_kernel, t_k=t_k, n=n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
