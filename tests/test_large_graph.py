@@ -576,3 +576,92 @@ class TestFlatTridiag:
                                    np.asarray(r_cr.poses), atol=5e-3)
         assert np.isfinite(np.asarray(r_td.poses)).all()
         assert int(r_td.gn_iters) >= 1
+
+
+class TestFlatCholesky:
+    """Flat-layout banded Cholesky vs the (D, T1, 3, 3) original (the
+    flat path is now the production direct-solver route; same scaling
+    rationale as TestFlatTridiag - the streaming (T1, D*9) scans never
+    materialize a trailing-(3, 3) tensor at trajectory length)."""
+
+    @pytest.mark.parametrize("t1,band", [(48, 4), (60, 3), (40, 5),
+                                         (23, 4)])
+    def test_matches_band_solver(self, rng, t1, band):
+        from tpuslam.slam.cholesky import (banded_solve_direct,
+                                           banded_solve_direct_flat)
+
+        h_flat, b3 = TestFlatTridiag._random_banded(None, rng, t1, band)
+        d1 = band + 1
+        h_band = jnp.transpose(h_flat.reshape(d1, 9, t1),
+                               (0, 2, 1)).reshape(d1, t1, 3, 3)
+        x_band = banded_solve_direct(h_band, b3.T)
+        x_flat = banded_solve_direct_flat(h_flat, b3, band)
+        np.testing.assert_allclose(np.asarray(x_flat), np.asarray(x_band),
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestFlatCg:
+    """Flat-layout matvec + PCG vs the band-layout original."""
+
+    @pytest.mark.parametrize("t1,band", [(48, 4), (60, 3), (23, 4)])
+    def test_matvec_matches_band(self, rng, t1, band):
+        from tpuslam.slam.large import (make_banded_matvec,
+                                        make_banded_matvec_flat)
+
+        h_flat, b3 = TestFlatTridiag._random_banded(None, rng, t1, band)
+        d1 = band + 1
+        h_band = jnp.transpose(h_flat.reshape(d1, 9, t1),
+                               (0, 2, 1)).reshape(d1, t1, 3, 3)
+        y_band = make_banded_matvec(h_band)(b3.T)  # (T1, 3)
+        y_flat = make_banded_matvec_flat(h_flat, band)(b3)  # (3, T1)
+        np.testing.assert_allclose(np.asarray(y_flat.T),
+                                   np.asarray(y_band),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("t1,band", [(48, 4), (60, 3)])
+    def test_cg_matches_band_cg(self, rng, t1, band):
+        from tpuslam.slam.large import cg_solve, cg_solve_flat
+
+        h_flat, b3 = TestFlatTridiag._random_banded(None, rng, t1, band)
+        d1 = band + 1
+        h_band = jnp.transpose(h_flat.reshape(d1, 9, t1),
+                               (0, 2, 1)).reshape(d1, t1, 3, 3)
+        x_band, it_b = cg_solve(h_band, b3.T, max_iters=500, tol=1e-12)
+        x_flat, it_f = cg_solve_flat(h_flat, b3, band, max_iters=500,
+                                     tol=1e-12)
+        np.testing.assert_allclose(np.asarray(x_flat), np.asarray(x_band),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_graph_solve_cg_and_cholesky_flat_paths(self, rng):
+        """End-to-end GN on the (now flat) cg/cholesky paths matches the
+        tridiag production solver."""
+        import math
+        from tpuslam.core.angles import wrap_angle
+        from tpuslam.models.scan_sensor import ScanConfig
+        from tpuslam.slam import (GraphConfig, graph_solve_banded,
+                                  make_large_scene, window_pairs)
+
+        t1 = 200
+        cfg = GraphConfig(
+            max_times=t1, num_landmarks=30, max_gn_iters=6,
+            scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                            dist_gain=0.05, dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)),
+            exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(0), t1, 30,
+                                       radius=60.0, odom_noise=0.05)
+        el = window_pairs(np.asarray(obs.valid), window=12)
+        rel = po[1:] - po[:-1]
+        rel = rel.at[:, 2].set(wrap_angle(rel[:, 2]))
+        kw = dict(band=12, rel_odom=rel, odom_info=(100.0, 100.0, 100.0),
+                  delta_tol=1e-4 * t1)
+        r_td = graph_solve_banded(cfg, po, obs, el, solver="tridiag", **kw)
+        r_ch = graph_solve_banded(cfg, po, obs, el, solver="cholesky",
+                                  **kw)
+        r_cg = graph_solve_banded(cfg, po, obs, el, solver="cg", **kw)
+        np.testing.assert_allclose(np.asarray(r_ch.poses),
+                                   np.asarray(r_td.poses), atol=2e-2)
+        # CG is iterative (residual-tol stop): allow the same cross-
+        # solver spread the cr-vs-tridiag test uses.
+        np.testing.assert_allclose(np.asarray(r_cg.poses),
+                                   np.asarray(r_td.poses), atol=2e-2)

@@ -156,3 +156,80 @@ def banded_solve_direct(hb, b):
     """One-shot H x = b via banded Cholesky (factor + two substitutions)."""
     return banded_chol_solve(banded_cholesky(hb), b.reshape(-1, 3)).reshape(
         b.shape)
+
+
+@highest_matmul_precision
+def banded_solve_direct_flat(h_flat, b_flat, band: int):
+    """Flat-layout twin of :func:`banded_solve_direct`.
+
+    Same factorization (identical 3x3 block recurrences), but H streams
+    through the scans as ``(T1, (band+1)*9)`` scalar rows and the factor
+    is emitted the same way - NO tensor with a trailing ``(3, 3)`` pair
+    ever materializes at trajectory length (the ``(D, T1, 3, 3)``
+    layouts of :func:`banded_cholesky` tile-pad 57-128x and OOM beyond
+    ~150k poses; see ``tpuslam/slam/large.py::assemble_banded_flat``).
+    The per-step block algebra operates on ``(D, 3, 3)`` slices of ONE
+    row - small, carried values that never hit HBM layouts.
+
+    Two scans instead of three: the forward substitution ``L z = b``
+    consumes columns in emission order, so it rides inside the
+    factorization scan (the carry window C already holds exactly the
+    columns it needs); only the backward sweep needs a second (reversed)
+    scan over the emitted factor rows.
+
+    Args:
+        h_flat: ``((band+1)*9, T1)`` flat banded storage,
+            ``h_flat[d*9 + 3a + b, t] = H[t, t+d][a, b]``.
+        b_flat: ``(3, T1)`` phase-major right-hand side.
+
+    Returns:
+        ``(T1, 3)`` solution (same orientation as the band-layout
+        solvers' output).
+    """
+    d1 = band + 1
+    t1 = h_flat.shape[1]
+    a_idx = jnp.arange(band)
+    d_idx = jnp.arange(d1)
+    g_idx = jnp.clip(d_idx[:, None] + a_idx[None, :] + 1, 0, band)
+    g_ok = ((d_idx[:, None] + a_idx[None, :] + 1) <= band).astype(
+        h_flat.dtype)[..., None, None]
+
+    ht = h_flat.T  # (T1, D*9) scalar rows - the ONLY large operand
+    bt = b_flat.T  # (T1, 3)
+
+    def fwd_step(carry, inputs):
+        c, zwin = carry  # C: (band, D, 3, 3) columns i-1-a; zwin: (band, 3)
+        h_row, b_i = inputs
+        # h_col[d] = H[i+d, i] = (flat block d at column i)^T.
+        h_col = jnp.swapaxes(h_row.reshape(d1, 3, 3), -1, -2)
+        cd = c[a_idx, a_idx + 1]  # L[i, i-1-a]
+        s = h_col[0] - jnp.einsum("aij,akj->ik", cd, cd)
+        l00 = _chol3(s)
+        l00_inv = _inv_lower3(l00)
+        g = c[a_idx[None, :], g_idx] * g_ok
+        m = h_col - jnp.einsum("daij,akj->dik", g, cd)
+        col = m @ jnp.swapaxes(l00_inv, -1, -2)
+        col = col.at[0].set(l00)
+        # Forward substitution folded in: z_i = L00^-1 (b_i - cd . z_win).
+        z_i = jnp.einsum("ij,j->i", l00_inv,
+                         b_i - jnp.einsum("aij,aj->i", cd, zwin))
+        new_c = jnp.concatenate([col[None], c[:-1]], axis=0)
+        new_z = jnp.concatenate([z_i[None], zwin[:-1]], axis=0)
+        return (new_c, new_z), (col.reshape(d1 * 9), z_i)
+
+    c0 = jnp.zeros((band, d1, 3, 3), h_flat.dtype)
+    z0 = jnp.zeros((band, 3), h_flat.dtype)
+    _, (lrows, z) = jax.lax.scan(fwd_step, (c0, z0), (ht, bt))
+
+    def bwd_step(xwin, inputs):
+        # xwin[a] = x[i+1+a]
+        l_row, z_i = inputs
+        col = l_row.reshape(d1, 3, 3)
+        xi = jnp.einsum("ji,j->i", _inv_lower3(col[0]),
+                        z_i - jnp.einsum("aji,aj->i", col[1:],
+                                         xwin[:band]))
+        return jnp.concatenate([xi[None], xwin[:-1]], axis=0), xi
+
+    _, x_rev = jax.lax.scan(bwd_step, jnp.zeros((band, 3), h_flat.dtype),
+                            (lrows[::-1], z[::-1]))
+    return x_rev[::-1]

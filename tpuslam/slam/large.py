@@ -464,6 +464,106 @@ def cg_solve(h_band, b, max_iters: int = 200, tol: float = 1e-8):
     return pcg(matvec, precond, dot, b, max_iters, tol)
 
 
+def make_banded_matvec_flat(h_flat, band: int):
+    """Flat-layout twin of :func:`make_banded_matvec`.
+
+    ``x -> H x`` with BOTH operands in flat phase-major storage
+    (``h_flat[(d*9 + 3a + b), t] = H[t, t+d][a, b]``, ``x`` as
+    ``(3, T1)`` rows): each of the ``9 * (band+1)`` scalar band entries
+    contributes one elementwise multiply against a STATICALLY SHIFTED
+    copy of an ``x`` row (upper term) and one against an unshifted row
+    whose product is shifted back (lower/transpose term).  No gathers,
+    no ``(.., 3, 3)``-trailing intermediates - the band-layout matvec's
+    ``x[idx_u]`` gathers and ``(D, T1, 3, 3)`` masks are what cap the CG
+    path at ~150k poses.  Shifts are static pads/slices, so the whole
+    matvec compiles to ~2 * 9 * D fused VPU passes over ``T1`` lanes.
+    """
+    d1 = band + 1
+    t1 = h_flat.shape[1]
+    # Row (d, a, b) as a (1, T1) slice; keep 2-D so every op stays on
+    # clean (sublane, lane) layouts.
+    h = h_flat.reshape(d1, 9, t1)
+
+    def matvec(x):
+        # x: (3, T1) -> y: (3, T1)
+        ya = []
+        # Accumulate the lower-term rows first: z_b^{(d)} = sum_a
+        # H[t, t+d][a, b] x[a, t], then y[b, t+d] += z_b^{(d)}[t].
+        y = [jnp.zeros((t1,), x.dtype) for _ in range(3)]
+        for d in range(d1):
+            if d == 0:
+                xs = x
+            else:
+                xs = jnp.pad(x[:, d:], ((0, 0), (0, d)))
+            for a in range(3):
+                acc = None
+                for b in range(3):
+                    term = h[d, 3 * a + b] * xs[b]
+                    acc = term if acc is None else acc + term
+                y[a] = y[a] + acc  # upper: y[a, t] += H[t,t+d][a,:] x[:, t+d]
+            if d:
+                for b in range(3):
+                    z = None
+                    for a in range(3):
+                        term = h[d, 3 * a + b] * x[a]
+                        z = term if z is None else z + term
+                    # lower: y[b, t+d] += z[t]  (shift right by d)
+                    y[b] = y[b] + jnp.pad(z[:-d], (d, 0))
+        return jnp.stack(y)
+
+    return matvec
+
+
+def _inv3x3_flat(h9):
+    """Closed-form inverse of per-lane 3x3 blocks stored as 9 scalar
+    rows ``h9[(3a + b), t]``; returns the same layout.  (Reshaping to
+    ``(T1, 3, 3)`` for :func:`_inv3x3` would materialize a tile-padded
+    small-trailing-dim tensor at trajectory scale.)"""
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = [h9[k] for k in range(9)]
+    c00 = m11 * m22 - m12 * m21
+    c01 = m02 * m21 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c10 = m12 * m20 - m10 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m02 * m10 - m00 * m12
+    c20 = m10 * m21 - m11 * m20
+    c21 = m01 * m20 - m00 * m21
+    c22 = m00 * m11 - m01 * m10
+    det = m00 * c00 + m01 * c10 + m02 * c20
+    # Same adjugate/det expression as graph.py::_inv3x3 (no guard): the
+    # assembled diagonal blocks are never singular (anchor + identity
+    # padding), and twin behavior with the band-layout preconditioner
+    # matters more than defensiveness here.
+    return jnp.stack([c00, c01, c02, c10, c11, c12, c20, c21, c22]) / det
+
+
+@highest_matmul_precision
+def cg_solve_flat(h_flat, b_flat, band: int, max_iters: int = 200,
+                  tol: float = 1e-8):
+    """Flat-layout twin of :func:`cg_solve` (same PCG driver, same
+    block-Jacobi preconditioner) operating end-to-end on
+    ``((band+1)*9, T1)`` / ``(3, T1)`` storage so the matrix-free path
+    scales to 1M poses like the tridiag/CR production solvers.
+
+    Returns ``((T1, 3) solution, iterations)``.
+    """
+    from tpuslam.core.pcg import pcg
+
+    minv9 = _inv3x3_flat(h_flat[0:9])
+    matvec = make_banded_matvec_flat(h_flat, band)
+
+    def precond(r):
+        return jnp.stack([
+            minv9[3 * a + 0] * r[0] + minv9[3 * a + 1] * r[1]
+            + minv9[3 * a + 2] * r[2] for a in range(3)])
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    x, iters = pcg(matvec, precond, dot, b_flat, max_iters, tol)
+    return x.T, iters
+
+
 def make_large_scene(cfg: GraphConfig, key, n_poses: int,
                      n_landmarks: int, radius: float = 200.0,
                      odom_noise: float = 0.02,
@@ -614,18 +714,16 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
 
             delta = banded_solve_cr_flat(h_flat, -b_flat, band)
             cg_it = jnp.asarray(0)
-        else:
-            h_band = jnp.transpose(
-                h_flat.reshape(band + 1, 9, t1),
-                (0, 2, 1)).reshape(band + 1, t1, 3, 3)
-            bvec = b_flat.T
-            if solver == "cholesky":
-                from tpuslam.slam.cholesky import banded_solve_direct
+        elif solver == "cholesky":
+            # Flat end-to-end (streaming (T1, D*9) scans): the exact
+            # direct solver scales past 150k too.
+            from tpuslam.slam.cholesky import banded_solve_direct_flat
 
-                delta = banded_solve_direct(h_band, -bvec)
-                cg_it = jnp.asarray(0)
-            else:
-                delta, cg_it = cg_solve(h_band, -bvec, cg_iters, cg_tol)
+            delta = banded_solve_direct_flat(h_flat, -b_flat, band)
+            cg_it = jnp.asarray(0)
+        else:
+            delta, cg_it = cg_solve_flat(h_flat, -b_flat, band,
+                                         cg_iters, cg_tol)
         delta = delta * kept[:, None]
         poses = poses + delta
         poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
