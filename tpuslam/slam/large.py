@@ -668,10 +668,15 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             latency-optimal production solver for long trajectories).
         relinearize_omega: recompute the measurement information from the
             CURRENT estimates each GN iteration (the reference's
-            behavior).  Default False: freeze Omega at the initial guess
-            (see :func:`build_edge_blocks`) - at hundreds of poses the
+            behavior, graph_based_slam.py:411-417).  Default False:
+            freeze Omega at the initial guess (see
+            :func:`build_edge_blocks`) - at hundreds of poses the
             reweighting feedback can walk the solution along the
-            gauge-soft mode.
+            gauge-soft mode.  Measured cost of True (one v5e, 10k poses
+            / 1k landmarks / 10 GN iters, CR solver,
+            scripts/tpu_round2_measure.py): 0.143 s vs 0.106 s frozen
+            (+35%); iteration count unchanged.  The default is therefore
+            a measured 1.35x speed win, not just a convenience.
         delta_tol: GN stop threshold on ||dx||^2.  Defaults to the
             reference's absolute ``cfg.delta_sum_threshold`` (0.01) -
             which at 10k poses is below f32 solve noise, so GN runs to
