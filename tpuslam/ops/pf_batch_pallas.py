@@ -356,6 +356,12 @@ class PfBatchWideState(typing.NamedTuple):
     x_est: jax.Array  # (B, 3)
 
 
+# Slot-key modulus for the wide kernel's boundary encoding: must
+# exceed w_b (max window blocks, hence max distinct slots per pass-B
+# window) and keep _SLOT_MOD * (n + 1) f32-exact (n <= ~1M).
+_SLOT_MOD = 16
+
+
 def _wide_dims(cfg: PfConfig, tile_n: int):
     n = cfg.num_particles
     w_tiles = -(-n // tile_n)
@@ -391,6 +397,14 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
     dominant cost at B >= 1024).  Padded slots (``c >= n_fire``) read
     filter 0 harmlessly and write ``cnt = 0``, which excludes their
     window blocks from the skip table.
+
+    Boundaries are stored with a ``(c % _SLOT_MOD) * (n + 1)`` slot key
+    (see :func:`tile_boundary_compact`'s ``key_offset``): a pass-B
+    window of ``w_b`` consecutive COMPRESSED blocks spans at most
+    ``w_b`` consecutive slots (every firing slot owns >= 1 nonempty
+    block - its quantized weights sum to 2^20), so ``w_b + 1 <=
+    _SLOT_MOD`` keys distinguish every block a window can read and a
+    foreign slot's intervals can never cover this slot's output range.
     """
     from tpuslam.ops.resample_pallas import tile_boundary_compact
 
@@ -398,12 +412,14 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
     w = pl.program_id(1)
     t_in = wq_ref.shape[1]
     sid = c * w_tiles + w
+    koff = ((c % _SLOT_MOD).astype(jnp.float32)
+            * jnp.float32(n + 1))
 
     @pl.when(valid_ref[c] > 0)
     def _go():
         out, cnt = tile_boundary_compact(
             wq_ref[0:1, :], p_ref[:, :], base_ref[sid], inv_ref[c],
-            offs_ref[c], w * t_in, n, t_k)
+            offs_ref[c], w * t_in, n, t_k, key_offset=koff)
         out_ref[:, :] = out
         cnt_ref[0, sid] = cnt.astype(jnp.int32)
 
@@ -505,7 +521,7 @@ def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
 def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                        tile_n: int = 1024, noise_on: bool = True,
                        interpret: bool = False,
-                       fire_cap: int | None = None, w_b: int = 4):
+                       fire_cap: int | None = None, w_b: int = 12):
     """One step of B wide filters (main_pf order: resample -> predict ->
     observe -> weight -> estimate).
 
@@ -526,10 +542,21 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
 
     Args:
         fire_cap: static max simultaneously-firing filters served by the
-            kernel path (default ``max(8, B // 16)``; overflow -> XLA
-            fallback, correctness unaffected).
+            kernel path (overflow -> XLA fallback, correctness
+            unaffected).  Default ``B``: firing is CORRELATED across
+            filters - all clouds track the same truth, so observation
+            quality (hence weight concentration) co-moves, and measured
+            bursts reach 0.8 B (scripts/tpu_wide_profile2.py: n_fire
+            per step at B=1024 hits 842 at the default 1% ESS gate).
+            Any cap below the burst size pays the all-filter XLA decode
+            (~280 ms at 1024x10k) on burst steps, which dominated the
+            rollout: cap=B/16 + w_b=4 measured 3.6e7 particle-steps/s
+            vs 3.2e8 with cap=B + w_b=12.  Slot compaction still pays
+            on the many small-burst steps by skipping non-firing cells.
         w_b: skip-table window blocks per output tile (out tiles whose
-            survivors span more fall back).
+            survivors span more fall back).  Default matches the
+            single-filter :func:`merge_caps` choice; 4 overflowed on
+            typical post-gate survivor spreads (see above).
     """
     from tpuslam.ops.resample_pallas import (decode_indices,
                                              expand_compacted,
@@ -538,11 +565,16 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     w_tiles, np_ = _wide_dims(cfg, tile_n)
     b = state.particles.shape[1] // np_
     n = cfg.num_particles
+    if w_b + 1 > _SLOT_MOD:
+        raise ValueError(f"w_b={w_b} needs > {_SLOT_MOD} slot keys; a "
+                         "pass-B window may alias two filters")
+    if _SLOT_MOD * (n + 1) >= 1 << 24:
+        raise ValueError(f"n={n}: slot-keyed boundaries exceed f32 "
+                         "exactness (max ~1M particles per filter)")
     t_k = min(256, tile_n)
     wb2 = min(128, t_k)
     nw = t_k // wb2
-    cap = (fire_cap if fire_cap is not None
-           else max(1, min(b, max(8, b // 16))))
+    cap = b if fire_cap is None else fire_cap
 
     k_rs, k_obs = jax.random.split(key)
     x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
@@ -641,9 +673,15 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
         tc_hi = (tc15t[9].astype(jnp.float32)
                  + tc15t[10].astype(jnp.float32)
                  + tc15t[11].astype(jnp.float32))
-        tb_last = tc_hi[(blk_ids + 1) * wb2 - 1].astype(jnp.int32)
         stride = np_ + 1  # > any local slot id or boundary (<= n <= np_)
         blk_slot = blk_ids // (w_tiles * nw)  # padded -> cap (tail keys)
+        # Stored boundaries carry the (slot % _SLOT_MOD)*(n+1) key (see
+        # _wide_compact_kernel); strip it for the GLOBALLY-sorted bkey
+        # (tail blocks carry no key - inert_tail stores plain n).
+        koff_blk = jnp.where(blk_ids < n_comp_max,
+                             (blk_slot % _SLOT_MOD) * (n + 1), 0)
+        tb_last = (tc_hi[(blk_ids + 1) * wb2 - 1].astype(jnp.int32)
+                   - koff_blk)
         bkey = blk_slot * stride + tb_last
         ot = jnp.arange(cap * w_tiles, dtype=jnp.int32)
         i0_loc = (ot % w_tiles) * tile_n
@@ -660,7 +698,10 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
 
         # --- pass B: skip-table expand in slot space -------------------
         def kernel_path(_):
-            out = expand_compacted(tc15t, sb, span, blk_ids, i0_loc,
+            # Output indices carry the same slot key as the stored
+            # boundaries, so foreign-slot blocks self-mask.
+            i0_key = ((ot // w_tiles) % _SLOT_MOD) * (n + 1) + i0_loc
+            out = expand_compacted(tc15t, sb, span, blk_ids, i0_key,
                                    cap * np_, tile_n, wb2, w_b,
                                    interpret=interpret)
             rs3 = out.reshape(3, cap, np_)

@@ -399,7 +399,7 @@ def _strict_lt(t_in: int, dtype=jnp.bfloat16):
 
 
 def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
-                          t_k: int):
+                          t_k: int, key_offset=None):
     """Shared tile body: boundaries from an exact prefix + compaction.
 
     Pure function of in-kernel values (usable from any grid layout - the
@@ -416,6 +416,17 @@ def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
         offs: the filter's comb offset.
         lane0: first global (within-filter) lane id of this tile.
         n: the filter's valid particle count.
+        key_offset: optional scalar added to the STORED boundary rows
+            (after clipping/forcing).  Multi-filter callers (the wide
+            batched kernel) pass a per-filter slot key so a pass-2
+            window that strays into a NEIGHBORING filter's blocks
+            self-masks: without it, a foreign block's LOCAL intervals
+            can overlap this filter's local output slots and its
+            particles get silently SUMMED in (the expand kernel has no
+            other notion of block ownership).  The offset must keep
+            ``key_offset + n`` exactly representable in f32 and is a
+            common shift of ``t_lo``/``t_hi`` - survivor flags and
+            counts are unaffected.  ``None`` = 0 (single-filter paths).
 
     Returns:
         ``(out_block (15, t_k) bf16, cnt scalar f32)``.
@@ -446,6 +457,9 @@ def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
     t_lo = bound(cum_ex, n)  # previous lane's t_hi, incl. its forcing
 
     f = (t_hi > t_lo).astype(jnp.float32)  # (1, t_in) 0/1
+    if key_offset is not None:
+        t_hi = t_hi + key_offset
+        t_lo = t_lo + key_offset
     rank = jax.lax.dot_general(
         f.astype(jnp.bfloat16), lt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # exclusive survivor rank
