@@ -29,21 +29,28 @@ def rate(batch, parts, steps=100, **kw):
 
     @jax.jit
     def fn(k):
-        final, _ = pf_batch_wide_rollout(cfg, k, batch=batch,
-                                         n_steps=steps, **kw)
-        return jnp.sum(final.particles) + jnp.sum(final.lse)
+        final, outs = pf_batch_wide_rollout(cfg, k, batch=batch,
+                                            n_steps=steps, **kw)
+        return (jnp.sum(final.particles) + jnp.sum(final.lse),
+                jnp.sum(outs.resampled.any(axis=1)),
+                jnp.sum(outs.resampled))
 
-    dt = timed(fn, jax.random.key(0))
+    def scalar(k):
+        return fn(k)[0]
+
+    dt = timed(scalar, jax.random.key(0))
+    _, fire_steps, fires = fn(jax.random.key(0))
     r = batch * parts * steps / dt
     print(f"wide {batch}x{parts}: {r:.3e} p-s/s "
-          f"({dt*1e3/steps:.2f} ms/step)", flush=True)
+          f"({dt*1e3/steps:.2f} ms/step; {int(fire_steps)}/{steps} "
+          f"steps fire, {int(fires)} filter-firings)", flush=True)
 
 
 def main():
     print("device:", jax.devices()[0], flush=True)
     rate(128, 10_000)
     rate(1024, 10_000)
-    rate(64, 100_000)
+    rate(64, 100_000, steps=50)
 
 
 if __name__ == "__main__":
