@@ -616,6 +616,63 @@ class TestPfBatchWide:
                            log_w=jnp.asarray(lw),
                            lse=jnp.asarray(lse), lse2=jnp.asarray(lse2))
 
+    @staticmethod
+    def _mixed_state(cfg, b, tile_n, skew_ids, seed=0):
+        """Only the filters in ``skew_ids`` have degenerate weights (the
+        ESS gate fires for exactly those); the rest stay uniform."""
+        from tpuslam.ops.pf_batch_pallas import (_wide_dims,
+                                                 pf_batch_wide_init)
+
+        w_tiles, np_ = _wide_dims(cfg, tile_n)
+        n = cfg.num_particles
+        rng = np.random.default_rng(seed)
+        st = pf_batch_wide_init(cfg, b, tile_n)
+        p = np.asarray(st.particles).copy()
+        p += rng.normal(size=p.shape) * 0.3
+        lw = np.asarray(st.log_w).copy()
+        lse = np.asarray(st.lse).copy()
+        lse2 = np.asarray(st.lse2).copy()
+        for f in skew_ids:
+            vals = rng.normal(size=n) * 8.0
+            lw[0, f * np_:f * np_ + n] = vals
+            m = vals.max()
+            lse[f] = m + np.log(np.exp(vals - m).sum())
+            lse2[f] = 2 * m + np.log(np.exp(2 * (vals - m)).sum())
+        return st._replace(particles=jnp.asarray(p),
+                           log_w=jnp.asarray(lw),
+                           lse=jnp.asarray(lse), lse2=jnp.asarray(lse2))
+
+    def test_tiered_dispatch_matches_untiered(self):
+        """Both fire tiers (burst <= fire_cap_small -> small kernel,
+        larger -> full-cap kernel) must produce the state the untiered
+        full-cap path produces, bit for bit: the tiers quantize gathered
+        rows with the shared row-independent law, so the selection is
+        the same in any tier.  (Exact equality holds on this in-process
+        CPU backend; on TPU the weight-normalizer row sum may tile
+        differently across tier SHAPES and round ``total`` differently,
+        flipping ~1-per-1e4 selections - within the quantized-resample
+        contract, which only requires every decode of one step to share
+        one (wq, total) pair.)"""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_batch_pallas import pf_batch_wide_step
+
+        b, tile_n = 12, 256
+        cfg = PfConfig(num_particles=1000, weight_mode="log")
+        for skew_ids in ((3, 9), (0, 2, 4, 5, 7, 8, 10, 11)):
+            st = self._mixed_state(cfg, b, tile_n, skew_ids)
+            kw = dict(tile_n=tile_n, noise_on=False, interpret=True)
+            st_t, out_t = pf_batch_wide_step(
+                cfg, st, jax.random.key(3), 1, fire_cap_small=4, **kw)
+            st_u, out_u = pf_batch_wide_step(
+                cfg, st, jax.random.key(3), 1, fire_cap_small=b, **kw)
+            assert int(np.asarray(out_t.resampled).sum()) == len(skew_ids)
+            np.testing.assert_array_equal(np.asarray(st_t.particles),
+                                          np.asarray(st_u.particles))
+            np.testing.assert_array_equal(np.asarray(st_t.log_w),
+                                          np.asarray(st_u.log_w))
+            np.testing.assert_array_equal(np.asarray(st_t.x_est),
+                                          np.asarray(st_u.x_est))
+
     def test_resample_matches_vmapped_decode(self, rng):
         """Firing step, noise-free: the kernel resample selection must be
         bit-identical per filter to the shared-t XLA decode on the same

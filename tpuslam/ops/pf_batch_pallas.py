@@ -517,11 +517,12 @@ def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
                                              "interpret", "fire_cap",
-                                             "w_b"))
+                                             "w_b", "fire_cap_small"))
 def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                        tile_n: int = 1024, noise_on: bool = True,
                        interpret: bool = False,
-                       fire_cap: int | None = None, w_b: int = 12):
+                       fire_cap: int | None = None, w_b: int = 12,
+                       fire_cap_small: int | None = None):
     """One step of B wide filters (main_pf order: resample -> predict ->
     observe -> weight -> estimate).
 
@@ -547,16 +548,29 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
             filters - all clouds track the same truth, so observation
             quality (hence weight concentration) co-moves, and measured
             bursts reach 0.8 B (scripts/tpu_wide_profile2.py: n_fire
-            per step at B=1024 hits 842 at the default 1% ESS gate).
+            per step at B=1024 hits 842 at the default 1% ESS gate;
+            95-97 of 100 rollout steps fire at least one filter).
             Any cap below the burst size pays the all-filter XLA decode
             (~280 ms at 1024x10k) on burst steps, which dominated the
             rollout: cap=B/16 + w_b=4 measured 3.6e7 particle-steps/s
-            vs 3.2e8 with cap=B + w_b=12.  Slot compaction still pays
-            on the many small-burst steps by skipping non-firing cells.
+            over a 100-step 1024x10k rollout vs 2.6e8 with cap=B +
+            w_b=12, and 4.0e8 with the two-tier dispatch (128x10k:
+            4.3e7 -> 4.7e8; scripts/tpu_round2_measure2.py).
         w_b: skip-table window blocks per output tile (out tiles whose
             survivors span more fall back).  Default matches the
             single-filter :func:`merge_caps` choice; 4 overflowed on
             typical post-gate survivor spreads (see above).
+        fire_cap_small: static slot count of the SMALL kernel tier
+            (default ``max(8, B // 4)``, clipped to ``fire_cap``).  The
+            resample cost is O(cap * N) per firing step regardless of
+            the burst size, so a second tier sized for the TYPICAL
+            burst (measured mean 215/1024 firing filters per step at
+            the default gate) serves most steps at a quarter of the
+            full-cap cost; bursts above it take the full-cap tier via
+            a carried-state ``lax.cond``.  Set equal to ``fire_cap``
+            to disable tiering.  Measured at 1024x10k (100 steps):
+            B//8 -> 3.0e8, B//4 -> 4.0e8, B//2 -> 3.8e8 p-s/s
+            (no-fire floor 1.05e9; untiered 2.6e8).
     """
     from tpuslam.ops.resample_pallas import (decode_indices,
                                              expand_compacted,
@@ -575,6 +589,8 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     wb2 = min(128, t_k)
     nw = t_k // wb2
     cap = b if fire_cap is None else fire_cap
+    cap_small = (min(cap, max(8, b // 4)) if fire_cap_small is None
+                 else max(1, min(fire_cap_small, cap)))
 
     k_rs, k_obs = jax.random.split(key)
     x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
@@ -598,117 +614,15 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     n_fire = jnp.sum(fire_i)
 
     def fire_path(_):
-        # --- quantize per filter (the only O(B*N) XLA work) ------------
         from tpuslam.filters.pf import quantize_weights_law
 
         lw2 = state.log_w.reshape(b, np_)
-        w_rows = jnp.exp(lw2 - state.lse[:, None])  # padded -inf -> 0
-        total = jnp.sum(w_rows, axis=-1, keepdims=True)
-        wq = quantize_weights_law(w_rows, total)
-        tile_sums = wq.reshape(b, w_tiles, tile_n).sum(axis=-1)
-        cum_t = jnp.cumsum(tile_sums, axis=-1)
-        base = cum_t - tile_sums  # (B, W) exclusive
-        q_tot = cum_t[:, -1]
-
-        # --- firing-filter slot compaction -----------------------------
-        tgt = jnp.where(fire, pos, cap)
-        fids = jnp.zeros((cap,), jnp.int32).at[tgt].set(
-            jnp.arange(b, dtype=jnp.int32), mode="drop",
-            unique_indices=True)
-        valid_slot = (jnp.arange(cap, dtype=jnp.int32)
-                      < n_fire).astype(jnp.int32)
-        base_slot = base[fids].reshape(-1)  # (CAP*W,)
-        inv_slot = 1.0 / q_tot.astype(jnp.float32)[fids]
-        offs_slot = offs[fids]
-        wq_rows = wq.reshape(1, b * np_)
-
-        # --- pass A: compact (slots only) ------------------------------
-        tc, cnt = pl.pallas_call(
-            functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
-                              w_tiles=w_tiles),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
-                grid=(cap, w_tiles),
-                in_specs=[
-                    pl.BlockSpec(
-                        (3, tile_n),
-                        lambda c, w, fids, *_: (0, fids[c] * w_tiles + w),
-                        memory_space=pltpu.VMEM),
-                    pl.BlockSpec(
-                        (1, tile_n),
-                        lambda c, w, fids, *_: (0, fids[c] * w_tiles + w),
-                        memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((15, t_k),
-                                 lambda c, w, *_: (0, c * w_tiles + w),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                ],
-            ),
-            out_shape=[
-                jax.ShapeDtypeStruct((15, cap * w_tiles * t_k),
-                                     jnp.bfloat16),
-                jax.ShapeDtypeStruct((1, cap * w_tiles), jnp.int32),
-            ],
-            interpret=interpret,
-        )(fids, base_slot.astype(jnp.float32), inv_slot, offs_slot,
-          valid_slot, state.particles, wq_rows)
-        cnt = cnt[0]
-
-        # --- skip table over slot space (cf. resample_pallas.skip_table:
-        # same construction with a per-slot key offset so one searchsorted
-        # serves all firing filters) ------------------------------------
-        n_comp_max = cap * w_tiles * nw
-        n_blk = n_comp_max + w_b
-        occ = (cnt[:, None]
-               > jnp.arange(nw, dtype=jnp.int32)[None, :] * wb2)
-        nonempty = occ.reshape(-1).astype(jnp.int32)
-        cpos = jnp.cumsum(nonempty) - nonempty
-        btgt = jnp.where(nonempty > 0, cpos, n_blk)
-        blk_ids = jnp.full((n_blk,), n_comp_max, jnp.int32).at[btgt].set(
-            jnp.arange(n_comp_max, dtype=jnp.int32), mode="drop",
-            unique_indices=True)
-        tc15t = jnp.concatenate([tc, inert_tail(n, w_b, wb2)], axis=1)
-        tc_hi = (tc15t[9].astype(jnp.float32)
-                 + tc15t[10].astype(jnp.float32)
-                 + tc15t[11].astype(jnp.float32))
-        stride = np_ + 1  # > any local slot id or boundary (<= n <= np_)
-        blk_slot = blk_ids // (w_tiles * nw)  # padded -> cap (tail keys)
-        # Stored boundaries carry the (slot % _SLOT_MOD)*(n+1) key (see
-        # _wide_compact_kernel); strip it for the GLOBALLY-sorted bkey
-        # (tail blocks carry no key - inert_tail stores plain n).
-        koff_blk = jnp.where(blk_ids < n_comp_max,
-                             (blk_slot % _SLOT_MOD) * (n + 1), 0)
-        tb_last = (tc_hi[(blk_ids + 1) * wb2 - 1].astype(jnp.int32)
-                   - koff_blk)
-        bkey = blk_slot * stride + tb_last
-        ot = jnp.arange(cap * w_tiles, dtype=jnp.int32)
-        i0_loc = (ot % w_tiles) * tile_n
-        q0 = (ot // w_tiles) * stride + i0_loc
-        q1 = q0 + tile_n - 1
-        sb_raw = jnp.searchsorted(bkey, q0, side="right").astype(jnp.int32)
-        le = jnp.searchsorted(bkey, q1, side="right").astype(jnp.int32)
-        sb = jnp.clip(sb_raw, 0, n_blk - w_b)
-        span = jnp.clip(le - sb + 1, 1, w_b)
-        valid_out = (ot // w_tiles) < n_fire
-        need = jnp.where(valid_out, le - sb_raw + 1, 1)
-        ok = ((n_fire <= cap) & (jnp.max(cnt) <= t_k)
-              & (jnp.max(need) <= w_b))
-
-        # --- pass B: skip-table expand in slot space -------------------
-        def kernel_path(_):
-            # Output indices carry the same slot key as the stored
-            # boundaries, so foreign-slot blocks self-mask.
-            i0_key = ((ot // w_tiles) % _SLOT_MOD) * (n + 1) + i0_loc
-            out = expand_compacted(tc15t, sb, span, blk_ids, i0_key,
-                                   cap * np_, tile_n, wb2, w_b,
-                                   interpret=interpret)
-            rs3 = out.reshape(3, cap, np_)
-            src = jnp.clip(pos, 0, cap - 1)
-            return jnp.take(rs3, src, axis=1).reshape(3, b * np_)
 
         def xla_path(_):
+            # All-filter decode: the overflow fallback (cnt/w_b guard
+            # failed).  O(B*N); correctness oracle for the kernel tiers.
+            w_rows = jnp.exp(lw2 - state.lse[:, None])
+
             def one(wr, of):
                 t_row = slot_boundaries(wr[None, :], n, of)
                 idx = decode_indices(t_row, n)
@@ -721,7 +635,149 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
             out = out.at[:, :, :n].set(taken)
             return out.reshape(3, b * np_)
 
-        resampled = jax.lax.cond(ok, kernel_path, xla_path, 0)
+        def fire_tier(cap_t: int):
+            """Kernel resample serving <= cap_t firing slots.
+
+            Everything here is O(cap_t * N), not O(B * N):
+            ``quantize_weights_law`` is row-independent, so gathering
+            the firing filters' weight rows FIRST and quantizing
+            ``(cap_t, np_)`` is bit-identical per filter to quantizing
+            all of ``(B, np_)`` and gathering after.
+            """
+            def go(_):
+                # --- firing-filter slot compaction ----------------------
+                tgt = jnp.where(fire, pos, cap_t)
+                fids = jnp.zeros((cap_t,), jnp.int32).at[tgt].set(
+                    jnp.arange(b, dtype=jnp.int32), mode="drop",
+                    unique_indices=True)
+                valid_slot = (jnp.arange(cap_t, dtype=jnp.int32)
+                              < n_fire).astype(jnp.int32)
+
+                # --- quantize the gathered firing rows ------------------
+                w_sel = jnp.exp(lw2[fids] - state.lse[fids][:, None])
+                total = jnp.sum(w_sel, axis=-1, keepdims=True)
+                wq = quantize_weights_law(w_sel, total)  # (cap_t, np_)
+                tile_sums = wq.reshape(cap_t, w_tiles, tile_n).sum(axis=-1)
+                cum_t = jnp.cumsum(tile_sums, axis=-1)
+                base_slot = (cum_t - tile_sums).reshape(-1)  # (CAP*W,)
+                q_tot = cum_t[:, -1]
+                inv_slot = 1.0 / q_tot.astype(jnp.float32)
+                offs_slot = offs[fids]
+                wq_rows = wq.reshape(1, cap_t * np_)
+
+                # --- pass A: compact (slots only) -----------------------
+                tc, cnt = pl.pallas_call(
+                    functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
+                                      w_tiles=w_tiles),
+                    grid_spec=pltpu.PrefetchScalarGridSpec(
+                        num_scalar_prefetch=5,
+                        grid=(cap_t, w_tiles),
+                        in_specs=[
+                            pl.BlockSpec(
+                                (3, tile_n),
+                                lambda c, w, fids, *_: (
+                                    0, fids[c] * w_tiles + w),
+                                memory_space=pltpu.VMEM),
+                            pl.BlockSpec(
+                                (1, tile_n),
+                                lambda c, w, *_: (0, c * w_tiles + w),
+                                memory_space=pltpu.VMEM),
+                        ],
+                        out_specs=[
+                            pl.BlockSpec(
+                                (15, t_k),
+                                lambda c, w, *_: (0, c * w_tiles + w),
+                                memory_space=pltpu.VMEM),
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                        ],
+                    ),
+                    out_shape=[
+                        jax.ShapeDtypeStruct((15, cap_t * w_tiles * t_k),
+                                             jnp.bfloat16),
+                        jax.ShapeDtypeStruct((1, cap_t * w_tiles),
+                                             jnp.int32),
+                    ],
+                    interpret=interpret,
+                )(fids, base_slot.astype(jnp.float32), inv_slot,
+                  offs_slot, valid_slot, state.particles, wq_rows)
+                cnt = cnt[0]
+
+                # --- skip table over slot space (cf.
+                # resample_pallas.skip_table: same construction with a
+                # per-slot key offset so one searchsorted serves all
+                # firing filters) ----------------------------------------
+                n_comp_max = cap_t * w_tiles * nw
+                n_blk = n_comp_max + w_b
+                occ = (cnt[:, None]
+                       > jnp.arange(nw, dtype=jnp.int32)[None, :] * wb2)
+                nonempty = occ.reshape(-1).astype(jnp.int32)
+                cpos = jnp.cumsum(nonempty) - nonempty
+                btgt = jnp.where(nonempty > 0, cpos, n_blk)
+                blk_ids = jnp.full(
+                    (n_blk,), n_comp_max, jnp.int32).at[btgt].set(
+                        jnp.arange(n_comp_max, dtype=jnp.int32),
+                        mode="drop", unique_indices=True)
+                tc15t = jnp.concatenate([tc, inert_tail(n, w_b, wb2)],
+                                        axis=1)
+                tc_hi = (tc15t[9].astype(jnp.float32)
+                         + tc15t[10].astype(jnp.float32)
+                         + tc15t[11].astype(jnp.float32))
+                stride = np_ + 1  # > any local slot id or boundary
+                blk_slot = blk_ids // (w_tiles * nw)  # padded -> cap_t
+                # Stored boundaries carry the (slot % _SLOT_MOD)*(n+1)
+                # key (see _wide_compact_kernel); strip it for the
+                # GLOBALLY-sorted bkey (tail blocks carry no key -
+                # inert_tail stores plain n).
+                koff_blk = jnp.where(blk_ids < n_comp_max,
+                                     (blk_slot % _SLOT_MOD) * (n + 1), 0)
+                tb_last = (tc_hi[(blk_ids + 1) * wb2 - 1]
+                           .astype(jnp.int32) - koff_blk)
+                bkey = blk_slot * stride + tb_last
+                ot = jnp.arange(cap_t * w_tiles, dtype=jnp.int32)
+                i0_loc = (ot % w_tiles) * tile_n
+                q0 = (ot // w_tiles) * stride + i0_loc
+                q1 = q0 + tile_n - 1
+                sb_raw = jnp.searchsorted(bkey, q0,
+                                          side="right").astype(jnp.int32)
+                le = jnp.searchsorted(bkey, q1,
+                                      side="right").astype(jnp.int32)
+                sb = jnp.clip(sb_raw, 0, n_blk - w_b)
+                span = jnp.clip(le - sb + 1, 1, w_b)
+                valid_out = (ot // w_tiles) < n_fire
+                need = jnp.where(valid_out, le - sb_raw + 1, 1)
+                ok = ((n_fire <= cap_t) & (jnp.max(cnt) <= t_k)
+                      & (jnp.max(need) <= w_b))
+
+                # --- pass B: skip-table expand in slot space ------------
+                def kernel_path(_):
+                    # Output indices carry the same slot key as the
+                    # stored boundaries, so foreign-slot blocks
+                    # self-mask.
+                    i0_key = (((ot // w_tiles) % _SLOT_MOD) * (n + 1)
+                              + i0_loc)
+                    out = expand_compacted(tc15t, sb, span, blk_ids,
+                                           i0_key, cap_t * np_, tile_n,
+                                           wb2, w_b, interpret=interpret)
+                    rs3 = out.reshape(3, cap_t, np_)
+                    src = jnp.clip(pos, 0, cap_t - 1)
+                    return jnp.take(rs3, src, axis=1).reshape(3, b * np_)
+
+                return jax.lax.cond(ok, kernel_path, xla_path, 0)
+            return go
+
+        if cap_small < cap:
+            # Two-tier dispatch: the typical burst fits cap_small and
+            # pays O(cap_small * N); the rare large burst (firing is
+            # correlated across filters) takes the full-cap tier.  Both
+            # branches close over CARRIED scan state only (particles /
+            # log_w / lse), which this platform's lax.cond handles at
+            # full speed (CLAUDE.md: conds over carried state are free;
+            # conds over large scan-invariant captures are not).
+            resampled = jax.lax.cond(n_fire <= cap_small,
+                                     fire_tier(cap_small),
+                                     fire_tier(cap), 0)
+        else:
+            resampled = fire_tier(cap)(0)
         fire_lane = jnp.repeat(fire, np_)[None, :]
         particles_in = jnp.where(fire_lane, resampled, state.particles)
         lane_valid = (jnp.arange(np_) < n)
@@ -781,7 +837,8 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
 def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           tile_n: int = 1024, noise_on: bool = True,
                           interpret: bool = False,
-                          fire_cap: int | None = None, w_b: int = 4):
+                          fire_cap: int | None = None, w_b: int = 12,
+                          fire_cap_small: int | None = None):
     """``n_steps`` wide batched steps under ``lax.scan``."""
     state0 = pf_batch_wide_init(cfg, batch, tile_n)
     keys = jax.random.split(key, n_steps)
@@ -796,7 +853,8 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         st, out = pf_batch_wide_step(cfg, st, k, seed, tile_n=tile_n,
                                      noise_on=noise_on,
                                      interpret=interpret,
-                                     fire_cap=fire_cap, w_b=w_b)
+                                     fire_cap=fire_cap, w_b=w_b,
+                                     fire_cap_small=fire_cap_small)
         return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(
