@@ -64,7 +64,7 @@ def main():
         cfg = PfConfig(num_particles=10_000, weight_mode="log")
         print(f"--- {batch} x 10000, default gate", flush=True)
         fire_stats(cfg, batch)
-        rate(cfg, batch, "fire_cap=B, w_b=4", fire_cap=batch)
+        rate(cfg, batch, "fire_cap=B, w_b=4", fire_cap=batch, w_b=4)
         rate(cfg, batch, "fire_cap=B, w_b=12", fire_cap=batch, w_b=12)
         rate(cfg, batch, f"fire_cap={max(8, batch//4)}, w_b=12",
              fire_cap=max(8, batch // 4), w_b=12)

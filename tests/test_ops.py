@@ -714,6 +714,37 @@ class TestPfBatchWide:
             np.testing.assert_allclose(got[0], x, atol=1e-5)
             np.testing.assert_allclose(got[1], y, atol=1e-5)
 
+    def test_padding_lanes_match_xla_fallback(self):
+        """num_particles not a tile_n multiple (np_ >= n + 2) with >= 2
+        firing filters: the kernel path must keep every padding lane
+        [n, np_) zero through the resample, bit-matching the XLA
+        fallback.  Regression: a slot-key spacing of (n + 1) instead of
+        (np_ + 1) lets slot c's padding lanes alias into slot c+1's
+        keyed boundary intervals, summing the NEXT firing filter's
+        particles into them (expand_compacted's contract is 'slots
+        outside every lane's interval stay 0')."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_batch_pallas import pf_batch_wide_step
+
+        b, tile_n = 4, 256
+        cfg = PfConfig(num_particles=1000, weight_mode="log")  # np_=1024
+        st = self._skewed_state(cfg, b, tile_n)
+        kw = dict(tile_n=tile_n, noise_on=False, interpret=True)
+        st_k, out_k = pf_batch_wide_step(cfg, st, jax.random.key(5), 1,
+                                         **kw)
+        # fire_cap=1 < n_fire forces the all-filter XLA decode (the
+        # overflow fallback), which writes zeros to padding lanes.
+        st_x, out_x = pf_batch_wide_step(cfg, st, jax.random.key(5), 1,
+                                         fire_cap=1, **kw)
+        assert bool(np.asarray(out_k.resampled).all())
+        assert bool(np.asarray(out_x.resampled).all())
+        np.testing.assert_array_equal(np.asarray(st_k.particles),
+                                      np.asarray(st_x.particles))
+        np.testing.assert_array_equal(np.asarray(st_k.log_w),
+                                      np.asarray(st_x.log_w))
+        np.testing.assert_array_equal(np.asarray(st_k.x_est),
+                                      np.asarray(st_x.x_est))
+
     def test_stats_match_xla_recompute(self):
         """lse/lse2/MAP from the stats pass == XLA recompute on the
         step's own output log weights."""

@@ -358,7 +358,7 @@ class PfBatchWideState(typing.NamedTuple):
 
 # Slot-key modulus for the wide kernel's boundary encoding: must
 # exceed w_b (max window blocks, hence max distinct slots per pass-B
-# window) and keep _SLOT_MOD * (n + 1) f32-exact (n <= ~1M).
+# window) and keep _SLOT_MOD * (np_ + 1) f32-exact (np_ <= ~1M).
 _SLOT_MOD = 16
 
 
@@ -398,13 +398,18 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
     filter 0 harmlessly and write ``cnt = 0``, which excludes their
     window blocks from the skip table.
 
-    Boundaries are stored with a ``(c % _SLOT_MOD) * (n + 1)`` slot key
-    (see :func:`tile_boundary_compact`'s ``key_offset``): a pass-B
+    Boundaries are stored with a ``(c % _SLOT_MOD) * (np_ + 1)`` slot
+    key (see :func:`tile_boundary_compact`'s ``key_offset``): a pass-B
     window of ``w_b`` consecutive COMPRESSED blocks spans at most
     ``w_b`` consecutive slots (every firing slot owns >= 1 nonempty
     block - its quantized weights sum to 2^20), so ``w_b + 1 <=
     _SLOT_MOD`` keys distinguish every block a window can read and a
     foreign slot's intervals can never cover this slot's output range.
+    The spacing must exceed the PADDED per-filter lane count ``np_``,
+    not ``n``: pass-B output lanes run over all ``np_`` local slots, so
+    an ``n + 1`` spacing would let slot ``c``'s padding lanes
+    (``i_loc > n``) alias into slot ``c + 1``'s keyed intervals and
+    receive its particles instead of staying 0.
     """
     from tpuslam.ops.resample_pallas import tile_boundary_compact
 
@@ -413,7 +418,7 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
     t_in = wq_ref.shape[1]
     sid = c * w_tiles + w
     koff = ((c % _SLOT_MOD).astype(jnp.float32)
-            * jnp.float32(n + 1))
+            * jnp.float32(w_tiles * t_in + 1))
 
     @pl.when(valid_ref[c] > 0)
     def _go():
@@ -574,7 +579,8 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     """
     from tpuslam.ops.resample_pallas import (decode_indices,
                                              expand_compacted,
-                                             inert_tail, slot_boundaries)
+                                             inert_tail, skip_table,
+                                             slot_boundaries)
 
     w_tiles, np_ = _wide_dims(cfg, tile_n)
     b = state.particles.shape[1] // np_
@@ -582,9 +588,10 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     if w_b + 1 > _SLOT_MOD:
         raise ValueError(f"w_b={w_b} needs > {_SLOT_MOD} slot keys; a "
                          "pass-B window may alias two filters")
-    if _SLOT_MOD * (n + 1) >= 1 << 24:
-        raise ValueError(f"n={n}: slot-keyed boundaries exceed f32 "
-                         "exactness (max ~1M particles per filter)")
+    if _SLOT_MOD * (np_ + 1) >= 1 << 24:
+        raise ValueError(f"n={n} (padded {np_}): slot-keyed boundaries "
+                         "exceed f32 exactness (max ~1M particles per "
+                         "filter)")
     t_k = min(256, tile_n)
     wb2 = min(128, t_k)
     nw = t_k // wb2
@@ -702,49 +709,23 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                   offs_slot, valid_slot, state.particles, wq_rows)
                 cnt = cnt[0]
 
-                # --- skip table over slot space (cf.
-                # resample_pallas.skip_table: same construction with a
-                # per-slot key offset so one searchsorted serves all
-                # firing filters) ----------------------------------------
-                n_comp_max = cap_t * w_tiles * nw
-                n_blk = n_comp_max + w_b
-                occ = (cnt[:, None]
-                       > jnp.arange(nw, dtype=jnp.int32)[None, :] * wb2)
-                nonempty = occ.reshape(-1).astype(jnp.int32)
-                cpos = jnp.cumsum(nonempty) - nonempty
-                btgt = jnp.where(nonempty > 0, cpos, n_blk)
-                blk_ids = jnp.full(
-                    (n_blk,), n_comp_max, jnp.int32).at[btgt].set(
-                        jnp.arange(n_comp_max, dtype=jnp.int32),
-                        mode="drop", unique_indices=True)
+                # --- skip table over slot space: the shared
+                # resample_pallas.skip_table with slot_params, which
+                # strips the per-slot key offset and stratifies the
+                # searchsorted by (slot * stride) so one table serves
+                # all firing filters ------------------------------------
                 tc15t = jnp.concatenate([tc, inert_tail(n, w_b, wb2)],
                                         axis=1)
-                tc_hi = (tc15t[9].astype(jnp.float32)
-                         + tc15t[10].astype(jnp.float32)
-                         + tc15t[11].astype(jnp.float32))
                 stride = np_ + 1  # > any local slot id or boundary
-                blk_slot = blk_ids // (w_tiles * nw)  # padded -> cap_t
-                # Stored boundaries carry the (slot % _SLOT_MOD)*(n+1)
-                # key (see _wide_compact_kernel); strip it for the
-                # GLOBALLY-sorted bkey (tail blocks carry no key -
-                # inert_tail stores plain n).
-                koff_blk = jnp.where(blk_ids < n_comp_max,
-                                     (blk_slot % _SLOT_MOD) * (n + 1), 0)
-                tb_last = (tc_hi[(blk_ids + 1) * wb2 - 1]
-                           .astype(jnp.int32) - koff_blk)
-                bkey = blk_slot * stride + tb_last
                 ot = jnp.arange(cap_t * w_tiles, dtype=jnp.int32)
                 i0_loc = (ot % w_tiles) * tile_n
                 q0 = (ot // w_tiles) * stride + i0_loc
                 q1 = q0 + tile_n - 1
-                sb_raw = jnp.searchsorted(bkey, q0,
-                                          side="right").astype(jnp.int32)
-                le = jnp.searchsorted(bkey, q1,
-                                      side="right").astype(jnp.int32)
-                sb = jnp.clip(sb_raw, 0, n_blk - w_b)
-                span = jnp.clip(le - sb + 1, 1, w_b)
                 valid_out = (ot // w_tiles) < n_fire
-                need = jnp.where(valid_out, le - sb_raw + 1, 1)
+                sb, span, need, blk_ids = skip_table(
+                    cnt, tc15t, t_k, wb2, w_b, q0, q1, valid_out,
+                    slot_params=(w_tiles * nw, stride, np_ + 1,
+                                 _SLOT_MOD))
                 ok = ((n_fire <= cap_t) & (jnp.max(cnt) <= t_k)
                       & (jnp.max(need) <= w_b))
 
@@ -753,7 +734,7 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                     # Output indices carry the same slot key as the
                     # stored boundaries, so foreign-slot blocks
                     # self-mask.
-                    i0_key = (((ot // w_tiles) % _SLOT_MOD) * (n + 1)
+                    i0_key = (((ot // w_tiles) % _SLOT_MOD) * (np_ + 1)
                               + i0_loc)
                     out = expand_compacted(tc15t, sb, span, blk_ids,
                                            i0_key, cap_t * np_, tile_n,

@@ -317,7 +317,7 @@ def inert_tail(n: int, w_b: int, wb2: int):
 
 
 def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
-               valid):
+               valid, slot_params=None):
     """Build the compressed window-block table + per-output-tile runs.
 
     Window-block occupancy follows from the per-tile survivor counts:
@@ -331,8 +331,18 @@ def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
             same tile order as ``tc15``'s blocks.
         tc15: compacted stack WITH the inert tail appended.
         i0 / i_last: per-output-tile first / last global slot indices.
+            With ``slot_params`` they are int32 keys in the caller's
+            ``slot * stride + local_slot`` space instead.
         valid: per-output-tile bool - False for all-padding tiles
             (their ``need`` is forced to 1).
+        slot_params: ``None`` for the single-filter path.  The wide
+            batched-PF kernel (one boundary table serving many firing
+            filters) passes ``(blocks_per_slot, stride, key_spacing,
+            key_mod)``: stored boundaries carry a per-slot
+            ``(slot % key_mod) * key_spacing`` offset which is stripped
+            and replaced by the globally-sorted ``slot * stride`` key
+            (int32 - exact past the f32 2^24 bound at large
+            ``cap * np_``).
 
     Returns:
         ``(sb, span, need, blk_ids)``: per-tile start index into
@@ -356,9 +366,20 @@ def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
     tc_hi = (tc15[9].astype(jnp.float32) + tc15[10].astype(jnp.float32)
              + tc15[11].astype(jnp.float32))
     tb_last = tc_hi[(blk_ids + 1) * wb2 - 1]  # (n_blk,)
-    sb_raw = jnp.searchsorted(tb_last, i0.astype(jnp.float32),
+    if slot_params is None:
+        bkey = tb_last
+        q0 = i0.astype(jnp.float32)
+        q1 = i_last.astype(jnp.float32)
+    else:
+        blocks_per_slot, stride, key_spacing, key_mod = slot_params
+        blk_slot = blk_ids // blocks_per_slot
+        koff = jnp.where(blk_ids < n_comp_max,
+                         (blk_slot % key_mod) * key_spacing, 0)
+        bkey = blk_slot * stride + tb_last.astype(jnp.int32) - koff
+        q0, q1 = i0, i_last
+    sb_raw = jnp.searchsorted(bkey, q0,
                               side="right").astype(jnp.int32)
-    le = jnp.searchsorted(tb_last, i_last.astype(jnp.float32),
+    le = jnp.searchsorted(bkey, q1,
                           side="right").astype(jnp.int32)
     sb = jnp.clip(sb_raw, 0, n_blk - w_b)
     span = jnp.clip(le - sb + 1, 1, w_b)

@@ -486,7 +486,6 @@ def make_banded_matvec_flat(h_flat, band: int):
 
     def matvec(x):
         # x: (3, T1) -> y: (3, T1)
-        ya = []
         # Accumulate the lower-term rows first: z_b^{(d)} = sum_a
         # H[t, t+d][a, b] x[a, t], then y[b, t+d] += z_b^{(d)}[t].
         y = [jnp.zeros((t1,), x.dtype) for _ in range(3)]
@@ -646,7 +645,8 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        solver: str = "cg",
                        relinearize_omega: bool = False,
                        delta_tol: float | None = None,
-                       damping: float = 0.0):
+                       damping: float = 0.0,
+                       super_size: int | None = None):
     """Gauss-Newton with banded assembly + selectable inner solver.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -687,6 +687,13 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             reference-compatible formulation (``exact_jacobians=False``,
             ``relinearize_omega=True``), whose GN otherwise wanders at
             hundreds of poses; 0 (default) is pure Gauss-Newton.
+        super_size: super-block size S for the ``"tridiag"`` solver
+            (poses per block-Thomas scan step).  Default ``band``.  The
+            scan runs ``T1/S`` iterations of dense ``(3S, 3S)`` work:
+            larger S trades per-iteration flops (O(S^3) Cholesky +
+            inverse) against scan-iteration dispatch overhead, at
+            ``~36*S`` bytes/pose of stacked carry memory.  Ignored by
+            the other solvers.
     """
     t1 = poses_init.shape[0]
     tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
@@ -710,7 +717,8 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             # (their tile-padded layouts OOM beyond ~150k poses).
             from tpuslam.slam.tridiag import banded_solve_tridiag_flat
 
-            delta = banded_solve_tridiag_flat(h_flat, -b_flat, band)
+            delta = banded_solve_tridiag_flat(h_flat, -b_flat, band,
+                                              super_size=super_size)
             cg_it = jnp.asarray(0)
         elif solver == "cr":
             # Flat end-to-end like tridiag (the latency-optimal solver
