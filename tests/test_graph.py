@@ -206,3 +206,46 @@ class TestDemoCourse:
         t2, r2 = solve_once(scene, cfg, jax.random.key(5), 9)
         np.testing.assert_array_equal(np.asarray(r1.poses),
                                       np.asarray(r2.poses))
+
+
+class TestControls:
+    """Per-step (v, w) command sequences (Robot.move(v, w) takes
+    arbitrary controls per call, graph_based_slam.py:638)."""
+
+    def test_constant_controls_match_default(self):
+        """An explicit constant (vel, yaw_rate) sequence is bit-identical
+        to the default circular course."""
+        cfg = _demo_cfg(9)
+        scene = SlamSceneConfig()
+        u = np.tile([[scene.vel, scene.yaw_rate]], (8, 1))
+        t_a = simulate(scene, cfg, jax.random.key(3), 8)
+        t_b = simulate(scene, cfg, jax.random.key(3), 8, controls=u)
+        np.testing.assert_array_equal(np.asarray(t_a.poses_actu),
+                                      np.asarray(t_b.poses_actu))
+        np.testing.assert_array_equal(np.asarray(t_a.obs.dist),
+                                      np.asarray(t_b.obs.dist))
+
+    def test_varied_course_converges(self):
+        """A non-circular course (turn direction flips mid-run, speed
+        varies) still converges frame-by-frame."""
+        cfg = _demo_cfg(13)
+        scene = SlamSceneConfig()
+        w = scene.yaw_rate
+        u = np.asarray(
+            [[scene.vel * (1.0 + 0.25 * (i % 3)),
+              w if i < 6 else -w] for i in range(12)], np.float32)
+        traj, poses_est, frames = jax.jit(
+            lambda k: slam_rollout(scene, cfg, k, 12, controls=u))(
+                jax.random.key(11))
+        assert bool(np.asarray(frames.is_calc).all())
+        assert np.isfinite(np.asarray(poses_est)).all()
+        # The actual course left the circle: yaw reverses direction.
+        yaw = np.asarray(traj.poses_actu[:, 2])
+        assert (np.diff(yaw[7:]) < 0).any()
+
+    def test_bad_controls_shape_raises(self):
+        cfg = _demo_cfg(5)
+        scene = SlamSceneConfig()
+        with np.testing.assert_raises(ValueError):
+            simulate(scene, cfg, jax.random.key(0), 4,
+                     controls=np.zeros((3, 2)))

@@ -105,6 +105,31 @@ class TestShardedFusedPf:
         np.testing.assert_allclose(np.asarray(fs_s2.x_true),
                                    np.asarray(fs_12.x_true), atol=1e-6)
 
+    def test_mean_estimate_matches_single_device(self):
+        """estimate="mean" (weighted mean, circular yaw averaging) on the
+        sharded path must match the single-device fused step."""
+        from tpuslam.ops.pf_pallas import (pf_fused_init,
+                                           pf_fused_step_stats)
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+        from tpuslam.filters.pf import pf_init
+
+        cfg = PfConfig(num_particles=512, weight_mode="log",
+                       resample_method="hist", estimate="mean")
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        fs_s = sharded_pf_fused_init(cfg, mesh, tile_n=64)
+        fs_1 = pf_fused_init(cfg, pf_init(cfg), tile_n=64)
+        key = jax.random.key(0)
+        fs_s2, ess_s = jax.jit(lambda f, k: sharded_pf_fused_step(
+            cfg, mesh, f, k, 0, noise_on=False, interpret=True,
+            tile_n=64))(fs_s, key)
+        fs_12, ess_1 = jax.jit(lambda f, k: pf_fused_step_stats(
+            cfg, f, k, 0, noise_on=False, interpret=True,
+            tile_n=64))(fs_1, key)
+        assert np.isclose(float(ess_s), float(ess_1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(fs_s2.x_est),
+                                   np.asarray(fs_12.x_est), atol=1e-5)
+
     def test_resample_branch_global_comb(self):
         """A skewed cloud trips the gate; resampled particles must come
         from the heavy support on EVERY shard (global comb)."""

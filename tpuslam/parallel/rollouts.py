@@ -203,7 +203,10 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
     * anything else (``"search"``): all-gather raw weights + particles,
       reference-exact unquantized decode.
 
-    Only ``estimate="map"`` is supported (the kernel computes it).
+    ``estimate="map"`` (the reference's argmax-weight particle) comes
+    straight from the per-device kernel candidates; ``"mean"`` adds one
+    read of the local weight/particle rows (4 weighted partial sums,
+    circular yaw averaging) combined with a single psum.
 
     Args:
         fs: state from :func:`sharded_pf_fused_init` (or a previous
@@ -216,10 +219,6 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
     from tpuslam.ops.pf_pallas import PfFusedState as _FS
     from tpuslam.ops.pf_pallas import _pf_stats_call
 
-    if cfg.estimate != "map":
-        raise NotImplementedError(
-            "sharded fused PF computes the MAP estimate in-kernel; "
-            "estimate='mean' is only on the single-device paths")
     n_total = cfg.num_particles
     n_dev = mesh.shape[PARTICLE_AXIS]
     if n_total % n_dev:
@@ -368,11 +367,30 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
         lse_g = global_lse(stats[0])
         lse2_g = global_lse(stats[1])
 
-        # Global MAP: argmax over the per-device kernel candidates.
-        cand = jax.lax.all_gather(stats[2:6], PARTICLE_AXIS)  # (n_dev, 4)
-        best = jnp.argmax(cand[:, 3])
-        x_est = jnp.where(jnp.isfinite(lse_g), cand[best, :3],
-                          p_rows[:, 0])
+        if cfg.estimate == "mean":
+            # Weighted mean with circular yaw averaging: 4 local partial
+            # sums + one psum.  Same NaN->uniform law as
+            # filters/pf.py::weights_from_log (padding lanes carry
+            # lw = -inf, so they weigh 0 on the finite branch and are
+            # masked out of the uniform reset).
+            lw_n = lw_rows[0] - lse_g
+            valid = jnp.arange(lw_rows.shape[1]) < n_local
+            w = jnp.where(jnp.isnan(lw_n) | ~jnp.isfinite(lse_g),
+                          jnp.where(valid, 1.0 / n_total, 0.0),
+                          jnp.exp(lw_n))
+            yaw = p_rows[2]
+            part = jnp.stack([
+                jnp.sum(w * p_rows[0]), jnp.sum(w * p_rows[1]),
+                jnp.sum(w * jnp.cos(yaw)), jnp.sum(w * jnp.sin(yaw))])
+            g = jax.lax.psum(part, PARTICLE_AXIS)
+            x_est = jnp.stack([g[0], g[1], jnp.arctan2(g[3], g[2])])
+        else:
+            # Global MAP: argmax over the per-device kernel candidates.
+            cand = jax.lax.all_gather(stats[2:6],
+                                      PARTICLE_AXIS)  # (n_dev, 4)
+            best = jnp.argmax(cand[:, 3])
+            x_est = jnp.where(jnp.isfinite(lse_g), cand[best, :3],
+                              p_rows[:, 0])
 
         return x_true, p_rows, lw_rows, lse_g, lse2_g, x_est, ess
 

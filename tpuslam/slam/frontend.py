@@ -71,29 +71,45 @@ class SlamTrajectory(typing.NamedTuple):
 
 
 def simulate(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
-             n_steps: int) -> SlamTrajectory:
+             n_steps: int, controls=None) -> SlamTrajectory:
     """Simulate ``n_steps`` frames of robot motion + scanning.
 
     Parity: the sim half of ``Robot.move`` + ``Robot.__observe``
     (graph_based_slam.py:638-682).  Returns padded ``(n_steps+1, ...)``
     tensors; row 0 is the exact start pose and its scan.
+
+    Args:
+        controls: optional ``(n_steps, 2)`` per-step ``(v, w)`` commands -
+            the reference's ``Robot.move(v, w)`` takes arbitrary controls
+            per call (graph_based_slam.py:638); default = the demo's
+            constant circle ``(scene.vel, scene.yaw_rate)``
+            (graph_based_slam.py:941).
     """
     lm = jnp.asarray(scene.landmarks)
     x0 = jnp.asarray(scene.x0)
     k0, kscan = jax.random.split(key)
     obs0_noisy, obs0_true = sensor_scan(graph_cfg.scan, kscan, x0, lm)
+    if controls is None:
+        controls = jnp.tile(
+            jnp.asarray([(scene.vel, scene.yaw_rate)], jnp.float32),
+            (n_steps, 1))
+    else:
+        controls = jnp.asarray(controls, jnp.float32)
+        if controls.shape != (n_steps, 2):
+            raise ValueError(
+                f"controls shape {controls.shape} != ({n_steps}, 2)")
 
-    def body(pose_actu, k):
+    def body(pose_actu, kc):
+        k, (v, w) = kc
         k_mv, k_sc = jax.random.split(k)
-        pose_next = motion_sample(scene.motion, k_mv, pose_actu, scene.vel,
-                                  scene.yaw_rate)
-        pose_odom = motion_mean(scene.motion, pose_actu, scene.vel,
-                                scene.yaw_rate)
+        pose_next = motion_sample(scene.motion, k_mv, pose_actu, v, w)
+        pose_odom = motion_mean(scene.motion, pose_actu, v, w)
         noisy, true = sensor_scan(graph_cfg.scan, k_sc, pose_next, lm)
         return pose_next, (pose_next, pose_odom, noisy, true)
 
     keys = jax.random.split(k0, n_steps)
-    _, (actu, odom, noisy, true) = jax.lax.scan(body, x0, keys)
+    _, (actu, odom, noisy, true) = jax.lax.scan(
+        body, x0, (keys, (controls[:, 0], controls[:, 1])))
 
     def cat(first, rest):
         return jnp.concatenate([first[None], rest], axis=0)
@@ -120,12 +136,16 @@ def observed_times_mask(obs: GraphObservations):
 
 
 def slam_rollout(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
-                 n_steps: int):
+                 n_steps: int, controls=None):
     """Full demo loop: simulate, then per-frame Gauss-Newton estimation.
 
     Parity: the ``graph_based_slam`` animation callback
     (graph_based_slam.py:931-975) - each frame moves the robot one step and
     re-estimates the whole trajectory from all sightings so far.
+
+    Args:
+        controls: optional ``(n_steps, 2)`` per-step ``(v, w)`` commands
+            (see :func:`simulate`).
 
     Returns:
         ``(traj, poses_est, frames)`` where ``traj`` is the
@@ -136,7 +156,7 @@ def slam_rollout(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
         the ``(n_steps, max_gn_iters)`` per-iteration traces backing the
         reference's per-loop "Loop(n)" printout).
     """
-    traj = simulate(scene, graph_cfg, key, n_steps)
+    traj = simulate(scene, graph_cfg, key, n_steps, controls=controls)
 
     def frame(poses_est, t):
         res = graph_solve(graph_cfg, poses_est, traj.obs, t_now=t)
@@ -148,12 +168,12 @@ def slam_rollout(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
 
 
 def solve_once(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
-               n_steps: int):
+               n_steps: int, controls=None):
     """Simulate then run a single full-history solve (benchmark shape).
 
     This is the large-scale path (BASELINE config 5 uses it with a sparse
     solver): one Gauss-Newton solve over the complete trajectory.
     """
-    traj = simulate(scene, graph_cfg, key, n_steps)
+    traj = simulate(scene, graph_cfg, key, n_steps, controls=controls)
     res = graph_solve(graph_cfg, traj.poses_odom, traj.obs)
     return traj, res
