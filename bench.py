@@ -47,8 +47,11 @@ def bench_ekf_scan(batch=8192, steps=400):
     return batch * steps / dt
 
 
-def bench_ekf_pallas(batch=2097152, steps=400):
-    """Fused Pallas kernel path (the framework's fast path)."""
+def bench_ekf_pallas(batch=8388608, steps=400):
+    """Fused Pallas kernel path (the framework's fast path).
+
+    8M rollouts is the measured throughput peak on one v5e chip
+    (scripts/tpu_round3_measure.py: 3.01e9 steps/s vs 2.81e9 at 2M)."""
     from tpuslam.filters import EkfConfig
     from tpuslam.ops import ekf_fused_rollout
 
@@ -257,6 +260,13 @@ def main():
               f"particle-steps/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# PF pallas 1M bench failed: {e}", file=sys.stderr)
+    try:
+        # 2M particles is the PF throughput peak (tpu_round3_measure.py).
+        pf_rate = bench_pf_pallas(particles=2_097_152)
+        print(f"# PF (pallas fused, 2M): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# PF pallas 2M bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_batch()
         print(f"# PF (batched fused, 1024x1000): {pf_rate:.3e} "

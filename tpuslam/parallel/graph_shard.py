@@ -20,12 +20,27 @@ from jax.sharding import PartitionSpec as P
 
 from tpuslam.core.angles import wrap_angle
 from tpuslam.core.precision import highest_matmul_precision
-from tpuslam.parallel.mesh import ROLLOUT_AXIS
+from tpuslam.parallel.mesh import ROLLOUT_AXIS, psum_hierarchical
 from tpuslam.slam.graph import GraphConfig, GraphObservations
 from tpuslam.slam.large import (EdgeList, add_odometry_chain,
                                 add_odometry_chain_flat, assemble_banded,
                                 assemble_banded_flat, build_edge_blocks,
                                 cg_solve)
+
+
+def _anchor_extras(cfg: GraphConfig, kept, dtype):
+    """Per-pose scalar the assembly adds to each diagonal entry beyond
+    the edge blocks: identity padding on non-kept poses + the gauge
+    anchor at the first kept pose (zero everywhere if nothing is kept).
+
+    The sharded assembly SUBTRACTS this for the shard-local ``kept``
+    (local-visibility artifacts) before the reduction and ADDS it back
+    for the globally-reduced ``kept`` after - one law for both layouts
+    and both directions.
+    """
+    extra = jnp.where(kept, jnp.zeros((), dtype), jnp.ones((), dtype))
+    fk = jnp.argmax(kept)
+    return extra.at[fk].add(jnp.where(jnp.any(kept), cfg.anchor, 0.0))
 
 
 def pad_edges(edges: EdgeList, multiple: int) -> EdgeList:
@@ -89,10 +104,9 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
         n_dev * mesh.shape[slice_axis])
 
     def _reduce(v):
-        v = jax.lax.psum(v, ROLLOUT_AXIS)  # ICI
-        if slice_axis is not None:
-            v = jax.lax.psum(v, slice_axis)  # DCN, hierarchical
-        return v
+        # ICI within the slice, one combined system per slice over DCN.
+        return psum_hierarchical(v, ROLLOUT_AXIS, slice_axis)
+
     if solver == "sharded_cg":
         if t1 % n_dev:
             raise ValueError(f"T1={t1} not divisible by {n_dev} devices")
@@ -116,26 +130,20 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             # intermediates; see tpuslam.slam.tridiag module docstring).
             h_flat, b_flat, kept = assemble_banded_flat(
                 cfg, blocks, el, t1, band)
-            # Remove per-shard anchor/padding before the reduction
+            # Strip per-shard anchor/padding before the reduction
             # (local-visibility artifacts; re-derived globally below).
-            diag_extra = jnp.where(kept, 0.0, 1.0)
-            first_kept = jnp.argmax(kept)
-            anchor_extra = jnp.zeros((t1,), h_flat.dtype).at[
-                first_kept].set(jnp.where(jnp.any(kept), cfg.anchor, 0.0))
+            ex = _anchor_extras(cfg, kept, h_flat.dtype)
             for k in (0, 4, 8):
-                h_flat = h_flat.at[k].add(-diag_extra - anchor_extra)
+                h_flat = h_flat.at[k].add(-ex)
 
             kept_cnt = _reduce(kept.astype(jnp.int32))
             h_flat = _reduce(h_flat)
             b_flat = _reduce(b_flat)
 
             kept_g = kept_cnt > 0
-            fk = jnp.argmax(kept_g)
-            ga = jnp.zeros((t1,), h_flat.dtype).at[fk].set(
-                jnp.where(jnp.any(kept_g), cfg.anchor, 0.0))
+            ex_g = _anchor_extras(cfg, kept_g, h_flat.dtype)
             for k in (0, 4, 8):
-                h_flat = h_flat.at[k].add(
-                    jnp.where(kept_g, 0.0, 1.0) + ga)
+                h_flat = h_flat.at[k].add(ex_g)
 
             if rel_odom is not None:
                 h_flat, b_flat = add_odometry_chain_flat(
@@ -164,30 +172,19 @@ def sharded_gn_iteration(cfg: GraphConfig, mesh, poses,
             return new_poses, jnp.sum(delta * delta), cg_it
 
         h_band, bvec, kept = assemble_banded(cfg, blocks, el, t1, band)
-        # Remove the per-shard anchor/padding before the global reduction:
-        # assemble_banded added them from LOCAL visibility; re-derive them
-        # globally after psum.  Easiest exact route: subtract local extras.
-        # (assemble_banded adds anchor at local first-kept + identity on
-        # local non-kept diagonals; recompute and subtract.)
+        # Same strip / reduce / re-derive as the flat branch, applied to
+        # the (D, T1, 3, 3) diagonal blocks.
         eye = jnp.eye(3, dtype=h_band.dtype)
-        diag_extra = jnp.where(kept[:, None, None], 0.0, 1.0) * eye
-        first_kept = jnp.argmax(kept)
-        anchor_extra = jnp.zeros((t1,), h_band.dtype).at[first_kept].set(
-            jnp.where(jnp.any(kept), cfg.anchor, 0.0))
-        h_band = h_band.at[0].add(-diag_extra
-                                  - anchor_extra[:, None, None] * eye)
+        ex = _anchor_extras(cfg, kept, h_band.dtype)
+        h_band = h_band.at[0].add(-ex[:, None, None] * eye)
 
         kept_cnt = _reduce(kept.astype(jnp.int32))
         h_band = _reduce(h_band)
         bvec = _reduce(bvec)
 
-        # Global anchor + padding (replicated).
         kept_g = kept_cnt > 0
-        h_band = h_band.at[0].add(
-            jnp.where(kept_g[:, None, None], 0.0, 1.0) * eye)
-        fk = jnp.argmax(kept_g)
-        h_band = h_band.at[0, fk].add(
-            jnp.where(jnp.any(kept_g), cfg.anchor, 0.0) * eye)
+        ex_g = _anchor_extras(cfg, kept_g, h_band.dtype)
+        h_band = h_band.at[0].add(ex_g[:, None, None] * eye)
 
         if rel_odom is not None:
             h_band, bvec = add_odometry_chain(h_band, bvec, poses,

@@ -127,7 +127,7 @@ def make_multislice_mesh(n_slice: int, n_per_slice: int | None = None,
 
 
 def psum_hierarchical(x, inner_axis: str = ROLLOUT_AXIS,
-                      outer_axis: str = SLICE_AXIS):
+                      outer_axis: str | None = SLICE_AXIS):
     """Two-stage psum: combine within the slice over ICI, then across
     slices over DCN.
 
@@ -135,5 +135,11 @@ def psum_hierarchical(x, inner_axis: str = ROLLOUT_AXIS,
     tells XLA to move only one slice-combined value per slice over DCN
     (ICI: ~100s of GB/s per link; DCN: ~1-10 GB/s per host) instead of
     flat-reducing every chip's contribution across the slow network.
+
+    ``outer_axis=None`` (the single-slice case) skips the DCN stage, so
+    callers with an optional slice axis reduce through one code path.
     """
-    return jax.lax.psum(jax.lax.psum(x, inner_axis), outer_axis)
+    x = jax.lax.psum(x, inner_axis)
+    if outer_axis is not None:
+        x = jax.lax.psum(x, outer_axis)
+    return x

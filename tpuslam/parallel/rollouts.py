@@ -21,7 +21,8 @@ from tpuslam.filters.pf import (PfConfig, PfState, pf_estimate,
                                 pf_likelihood)
 from tpuslam.models.process import circular_step
 from tpuslam.core.se2 import world_to_robot
-from tpuslam.parallel.mesh import PARTICLE_AXIS, ROLLOUT_AXIS
+from tpuslam.parallel.mesh import (PARTICLE_AXIS, ROLLOUT_AXIS,
+                                   psum_hierarchical)
 
 
 def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int,
@@ -48,10 +49,8 @@ def sharded_ekf_sweep(cfg: EkfConfig, mesh, keys, n_steps: int,
         slice_axis, ROLLOUT_AXIS)
 
     def reduce_sum(v):
-        v = jax.lax.psum(v, ROLLOUT_AXIS)  # ICI
-        if slice_axis is not None:
-            v = jax.lax.psum(v, slice_axis)  # DCN (one value per slice)
-        return v
+        # ICI within the slice, one combined value per slice over DCN.
+        return psum_hierarchical(v, ROLLOUT_AXIS, slice_axis)
 
     def local(keys_shard):
         # Mark the (constant-initialized) filter state as varying over the
@@ -117,9 +116,7 @@ def sharded_ekf_fused_sweep(cfg: EkfConfig, mesh, seed, batch: int,
             cfg, seed_arr[0] + my * 7919, batch=b_local,
             n_steps=n_steps, tile_b=min(tile_b, b_local),
             noise_on=noise_on, interpret=interpret)
-        se = jax.lax.psum(jnp.sum(err), ROLLOUT_AXIS)  # ICI
-        if slice_axis is not None:
-            se = jax.lax.psum(se, slice_axis)  # DCN, one value per slice
+        se = psum_hierarchical(jnp.sum(err), ROLLOUT_AXIS, slice_axis)
         rmse = jnp.sqrt(se / (batch * n_steps))
         return final, err, rmse
 

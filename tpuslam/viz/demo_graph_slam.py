@@ -152,6 +152,12 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true",
                     help="print the reference's per-GN-iteration Loop(n) "
                          "lines (graph_based_slam.py:709) for every frame")
+    ap.add_argument("--course", choices=("circle", "wavy"),
+                    default="circle",
+                    help="circle = the reference demo's constant (v, w); "
+                         "wavy = per-step controls (speed varies, turn "
+                         "direction flips mid-run) via slam_rollout's "
+                         "controls= argument")
     args = ap.parse_args(argv)
 
     import jax
@@ -169,8 +175,18 @@ def main(argv=None):
         scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
                         dist_gain=0.05, dir_sigma=math.radians(2.0),
                         orient_sigma=math.radians(2.0)))
+    controls = None
+    if args.course == "wavy":
+        import jax.numpy as jnp
+
+        w = scene.yaw_rate
+        controls = jnp.asarray(
+            [[scene.vel * (1.0 + 0.2 * (i % 3)),
+              w if i < args.frames // 2 else -w]
+             for i in range(args.frames)], jnp.float32)
     traj, poses_est, frames_out = jax.jit(
-        lambda k: slam_rollout(scene, graph_cfg, k, args.frames))(
+        lambda k: slam_rollout(scene, graph_cfg, k, args.frames,
+                               controls=controls))(
             jax.random.key(args.seed))
     traj, poses_est, frames_out = jax.device_get(
         (traj, poses_est, frames_out))
