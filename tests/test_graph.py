@@ -4,6 +4,7 @@
 import math
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -206,6 +207,42 @@ class TestDemoCourse:
         t2, r2 = solve_once(scene, cfg, jax.random.key(5), 9)
         np.testing.assert_array_equal(np.asarray(r1.poses),
                                       np.asarray(r2.poses))
+
+
+class TestOracleFuzz:
+    """Full-solve oracle parity over varied scan configs / seeds / course
+    lengths (the single-config parity tests above pin one point; this
+    sweeps the config space SURVEY.md section 4.3 cares about)."""
+
+    @pytest.mark.parametrize("seed,steps,range_m,angle_deg,gain", [
+        (11, 5, 12.0, 60.0, 0.08),
+        (12, 7, 20.0, 100.0, 0.03),
+        (13, 6, 15.0, 80.0, 0.05),
+        (14, 8, 10.0, 45.0, 0.10),
+    ])
+    def test_full_solve_matches_oracle(self, seed, steps, range_m,
+                                       angle_deg, gain):
+        cfg = GraphConfig(
+            max_times=steps + 1, num_landmarks=9,
+            scan=ScanConfig(range_m=range_m,
+                            angle_rad=math.radians(angle_deg),
+                            dist_gain=gain,
+                            dir_sigma=math.radians(2.0),
+                            orient_sigma=math.radians(2.0)))
+        scene = SlamSceneConfig()
+        traj = simulate(scene, cfg, jax.random.key(seed), steps)
+        res = graph_solve(cfg, traj.poses_odom, traj.obs, t_now=steps)
+        o_poses, o_ok, o_delta, o_iters, _ = oracles.graph_solve(
+            np.asarray(traj.poses_odom, np.float64),
+            np.asarray(traj.obs.dist, np.float64),
+            np.asarray(traj.obs.bearing, np.float64),
+            np.asarray(traj.obs.orient, np.float64),
+            np.asarray(traj.obs.valid), steps, gain,
+            cfg.scan.dir_sigma, cfg.scan.orient_sigma)
+        assert bool(res.is_calc) == o_ok
+        assert int(res.gn_iters) == o_iters
+        np.testing.assert_allclose(np.asarray(res.poses), o_poses,
+                                   atol=2e-2)
 
 
 class TestControls:
