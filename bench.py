@@ -50,8 +50,11 @@ def bench_ekf_scan(batch=8192, steps=400):
 def bench_ekf_pallas(batch=8388608, steps=400):
     """Fused Pallas kernel path (the framework's fast path).
 
-    8M rollouts is the measured throughput peak on one v5e chip
-    (scripts/tpu_round3_measure.py: 3.01e9 steps/s vs 2.81e9 at 2M)."""
+    8M rollouts x sublane-packed carry (sub_rows=8 auto) x tile 1024 is
+    the measured throughput peak on one v5e chip
+    (scripts/tpu_ekf_packed_validate.py: 9.0e9 steps/s vs 3.0e9 for the
+    flat carry; packing each state variable into an (8, B/8) plane runs
+    the VPU at full f32 sublane occupancy)."""
     from tpuslam.filters import EkfConfig
     from tpuslam.ops import ekf_fused_rollout
 
@@ -59,7 +62,7 @@ def bench_ekf_pallas(batch=8388608, steps=400):
 
     def fn(seed):
         final, err = ekf_fused_rollout(cfg, seed, batch=batch,
-                                       n_steps=steps, tile_b=2048)
+                                       n_steps=steps, tile_b=1024)
         return jnp.sum(err)
 
     dt = _time_scalar(fn, 1)

@@ -424,6 +424,82 @@ class TestMergeResampleKernel:
                                       np.asarray(outs[1].log_w))
 
 
+class TestPfPackedLayout:
+    """Sublane-packed (3R, N8) fused-PF layout vs the flat (3, N_pad)
+    layout (ops/pf_pallas.py::_pf_stats_kernel sub_rows)."""
+
+    def test_pack_flat_roundtrip(self, rng):
+        from tpuslam.ops.pf_pallas import _flat_rows, _pack_rows
+
+        rows = jnp.asarray(rng.normal(size=(3, 1024)), jnp.float32)
+        packed = _pack_rows(rows, 8)
+        assert packed.shape == (24, 128)
+        # Flat particle i -> row i // 128, col i % 128 of its plane.
+        np.testing.assert_array_equal(np.asarray(packed[1, 3]),
+                                      np.asarray(rows[0, 128 + 3]))
+        np.testing.assert_array_equal(np.asarray(_flat_rows(packed, 8)),
+                                      np.asarray(rows))
+
+    def test_packed_step_matches_flat(self, rng):
+        """One noise-free step on the packed state returns the same
+        stats/estimate/weights (up to reduction-order FP noise) as the
+        flat state, including the padded-tail masking (n=200 valid flat
+        indices spread over 8 row planes)."""
+        from tpuslam.filters.pf import PfConfig, pf_init
+        from tpuslam.ops.pf_pallas import (pf_fused_init,
+                                           pf_fused_step_stats,
+                                           pf_fused_to_state)
+
+        n = 200
+        cfg = PfConfig(num_particles=n, weight_mode="log")
+        parts = jnp.asarray(
+            rng.normal(size=(n, 3)) * 0.3 + np.array([10.0, 0.0,
+                                                      np.pi / 2]),
+            jnp.float32)
+        w = jnp.asarray(rng.uniform(0.5, 1.5, size=(n,)))
+        w = (w / jnp.sum(w)).astype(jnp.float32)
+        state = pf_init(cfg)._replace(particles=parts, weights=w)
+        key = jax.random.key(5)
+        outs = []
+        for sub_rows, tile in ((1, 64), (8, 128)):
+            fs = pf_fused_init(cfg, state, tile_n=tile,
+                               sub_rows=sub_rows)
+            fs2, ess = pf_fused_step_stats(cfg, fs, key, 0,
+                                           noise_on=False,
+                                           interpret=True, tile_n=tile)
+            outs.append((fs2, ess, pf_fused_to_state(cfg, fs2)))
+        (fa, ea, sa), (fb, eb, sb) = outs
+        np.testing.assert_allclose(float(ea), float(eb), rtol=1e-5)
+        np.testing.assert_allclose(float(fa.lse), float(fb.lse),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(fa.x_est),
+                                   np.asarray(fb.x_est), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sa.particles),
+                                   np.asarray(sb.particles), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sa.weights),
+                                   np.asarray(sb.weights), rtol=1e-4)
+
+    def test_packed_rollout_matches_flat(self, rng):
+        """Noise-free multi-step rollouts (incl. resample firings) agree
+        between the flat and packed carries."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_pallas import pf_fused_rollout
+
+        cfg = PfConfig(num_particles=192, weight_mode="log",
+                       resample_method="merge",
+                       ess_threshold_frac=0.99)
+        key = jax.random.key(11)
+        _, (xt_a, xe_a) = pf_fused_rollout(cfg, key, 8, noise_on=False,
+                                           interpret=True, tile_n=64,
+                                           sub_rows=1)
+        _, (xt_b, xe_b) = pf_fused_rollout(cfg, key, 8, noise_on=False,
+                                           interpret=True, tile_n=128,
+                                           sub_rows=8)
+        np.testing.assert_array_equal(np.asarray(xt_a), np.asarray(xt_b))
+        np.testing.assert_allclose(np.asarray(xe_a), np.asarray(xe_b),
+                                   atol=1e-5)
+
+
 class TestPfBatchKernel:
     """Batched fused PF: one filter per tile, in-tile systematic
     resample via lower-triangular one-hot matmuls

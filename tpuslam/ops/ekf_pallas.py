@@ -58,7 +58,7 @@ from tpuslam.ops.fastmath import normals as _normals  # noqa: E402
 
 def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
                 cov_ref, err_ref, *, cfg: EkfConfig, n_steps: int,
-                noise_on: bool):
+                noise_on: bool, sub_rows: int):
     if noise_on:
         # (TPU-only primitive; the noise-free path must stay liftable to
         # CPU interpret mode for the exactness test.)
@@ -72,8 +72,16 @@ def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
     qa0, qa1, qa2 = cfg.q_act_std
     ra0, ra1 = cfg.r_act_std
 
-    # Rows are kept 2-D (1, tile_b): TPU vector ops want >= 2 dims.
-    lane_shape = (1, state_ref.shape[1])
+    # Each state variable occupies ``sub_rows`` = R packed rows of the
+    # (9R, B/R) layout: flat rollout i lives at row i // B8, column
+    # i % B8 of its variable's R-plane.  R=1 is the classic flat
+    # (1, tile_b) row; R=8 fills all f32 vreg sublanes - every kernel op
+    # here is elementwise over lanes, so packing is a pure relayout
+    # (bit-identical per lane) that runs the VPU at 8x the occupancy
+    # (the PF stats kernel measured 2.5-3.2x end-to-end from the same
+    # change; scripts/tpu_pf_profile4.py).
+    r = sub_rows
+    lane_shape = (r, state_ref.shape[1])
 
     def step(i, carry):
         (xd0, xd1, xd2, xh0, xh1, xh2,
@@ -194,30 +202,32 @@ def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
 
     # Initial state/covariance from the memory-backed input tiles (splat
     # constants in the loop carry trip Mosaic relayout checks).
-    init = tuple(state_in_ref[i:i + 1, :] for i in range(3, 9)) + tuple(
-        cov_in_ref[i:i + 1, :] for i in range(9)) + (
-            state_in_ref[0:1, :] * 0.0, state_in_ref[0:1, :] * 0.0)
+    init = tuple(state_in_ref[i * r:(i + 1) * r, :]
+                 for i in range(3, 9)) + tuple(
+        cov_in_ref[i * r:(i + 1) * r, :] for i in range(9)) + (
+            state_in_ref[0:r, :] * 0.0, state_in_ref[0:r, :] * 0.0)
     out = jax.lax.fori_loop(0, n_steps, step, init)
 
-    zero_row = state_in_ref[0:1, :] * 0.0
+    zero_row = state_in_ref[0:r, :] * 0.0
     last = n_steps - 1
     for i in range(3):  # final truth, broadcast from the table
-        state_ref[i:i + 1, :] = zero_row + tbl_ref[last, i]
+        state_ref[i * r:(i + 1) * r, :] = zero_row + tbl_ref[last, i]
     for i in range(6):
-        state_ref[i + 3:i + 4, :] = out[i]
+        state_ref[(i + 3) * r:(i + 4) * r, :] = out[i]
     for i in range(9):
-        cov_ref[i:i + 1, :] = out[6 + i]
-    err_ref[0:1, :] = out[15]
-    err_ref[1:2, :] = out[16]
+        cov_ref[i * r:(i + 1) * r, :] = out[6 + i]
+    err_ref[0:r, :] = out[15]
+    err_ref[r:2 * r, :] = out[16]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "batch", "n_steps", "tile_b",
                                     "noise_on", "interpret",
-                                    "with_nees"))
+                                    "with_nees", "sub_rows"))
 def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
                       tile_b: int = 2048, noise_on: bool = True,
-                      interpret: bool = False, with_nees: bool = False):
+                      interpret: bool = False, with_nees: bool = False,
+                      sub_rows: int | None = None):
     """Run ``batch`` fused EKF rollouts of ``n_steps`` in one kernel.
 
     Args:
@@ -228,6 +238,14 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
         n_steps: steps per rollout.
         noise_on: disable to get the deterministic noise-free trajectory
             (used by the exactness test against the XLA scan path).
+        sub_rows: packed-layout row factor R - each state variable
+            occupies R vreg-sublane rows of a ``(9R, batch/R)`` buffer
+            so every VPU op runs at full f32 sublane occupancy (the
+            flat R=1 rows use 1/8 of each vreg).  ``None`` auto-packs
+            R=8 when the batch fills at least one packed tile; the
+            relayout is a pure reshape at the XLA boundary and every
+            kernel op is lane-elementwise, so results are bit-identical
+            to R=1 per rollout.
 
     Returns:
         ``(EkfState, sum_sq_err)``: final batched state (pytree of
@@ -237,15 +255,26 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
         the in-kernel accumulated position NEES (divide by n_steps;
         ~2 for a consistent filter).
     """
-    tile_b = min(tile_b, batch)
-    if batch % tile_b:
-        raise ValueError(f"batch {batch} not a multiple of tile {tile_b}")
-    grid = batch // tile_b
+    if sub_rows is None:
+        sub_rows = 8 if batch % (8 * tile_b) == 0 and batch > 0 else 1
+    r = sub_rows
+    if batch % r:
+        raise ValueError(f"batch {batch} not a multiple of "
+                         f"sub_rows {r}")
+    n8 = batch // r
+    tile_b = min(tile_b, n8)
+    if n8 % tile_b:
+        raise ValueError(
+            f"batch/sub_rows {n8} not a multiple of tile {tile_b}")
+    grid = n8 // tile_b
 
     x0 = jnp.asarray(cfg.x0, jnp.float32)
-    state0 = jnp.tile(x0[:, None], (3, batch))  # (9, B)
+    # (9, B) variable-major rows; the packed (9R, B/R) view is a pure
+    # row-major reshape per variable plane (flat rollout i -> row
+    # i // (B/R), column i % (B/R) of its variable's R-plane).
+    state0 = jnp.tile(x0[:, None], (3, batch)).reshape(9 * r, n8)
     p0 = jnp.diag(jnp.square(jnp.asarray(cfg.p0_std, jnp.float32)))
-    cov0 = jnp.tile(p0.reshape(9, 1), (1, batch))
+    cov0 = jnp.tile(p0.reshape(9, 1), (1, batch)).reshape(9 * r, n8)
 
     # Truth table (deterministic, lane-invariant): per-step scalars
     # [xt0, xt1, xt2, cos(xt2), sin(xt2)], computed with the same jnp
@@ -264,8 +293,8 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
                           length=n_steps)  # (n_steps, 5)
 
     kernel = functools.partial(_ekf_kernel, cfg=cfg, n_steps=n_steps,
-                               noise_on=noise_on)
-    row_spec = pl.BlockSpec((9, tile_b), lambda i: (0, i),
+                               noise_on=noise_on, sub_rows=r)
+    row_spec = pl.BlockSpec((9 * r, tile_b), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     state, cov, err = pl.pallas_call(
         kernel,
@@ -277,19 +306,22 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
             row_spec,
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((9, batch), jnp.float32),
-            jax.ShapeDtypeStruct((9, batch), jnp.float32),
-            jax.ShapeDtypeStruct((2, batch), jnp.float32),
+            jax.ShapeDtypeStruct((9 * r, n8), jnp.float32),
+            jax.ShapeDtypeStruct((9 * r, n8), jnp.float32),
+            jax.ShapeDtypeStruct((2 * r, n8), jnp.float32),
         ),
         out_specs=(
             row_spec,
             row_spec,
-            pl.BlockSpec((2, tile_b), lambda i: (0, i),
+            pl.BlockSpec((2 * r, tile_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), tbl, state0, cov0)
 
+    state = state.reshape(9, batch)
+    cov = cov.reshape(9, batch)
+    err = err.reshape(2, batch)
     final = EkfState(
         x_true=state[0:3].T, x_dr=state[3:6].T, x_hat=state[6:9].T,
         cov=cov.T.reshape(batch, 3, 3))

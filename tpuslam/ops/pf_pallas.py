@@ -134,36 +134,49 @@ def _pf_kernel(seed_ref, z_ref, p_in_ref, lw_in_ref, p_out_ref,
 
 
 def _pf_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
-                     p_out_ref, lw_out_ref, stats_ref, acc_ref, *,
+                     p_out_ref, lw_out_ref, part_ref, *,
                      cfg: PfConfig, noise_on: bool, n_valid: int,
-                     tile_n: int):
-    """Predict + weight + ALL step reductions in one pass.
+                     tile_n: int, sub_rows: int, n8: int):
+    """Predict + weight + per-tile reductions in one pass.
 
-    Accumulates across the (sequential) grid in SMEM scratch ``acc_ref``:
-      [0] running max of lw'           [1] running sum exp(lw' - max)
-      [2] running max of 2*lw'         [3] running sum exp(2*lw' - max)
-      [4] best lw'   [5..7] best particle (x, y, yaw)
-    and writes ``stats_ref`` = [lse, lse2, x_map, y_map, yaw_map, best_lw]
-    at the last grid step.  ``flag_ref[0] > 0`` treats incoming log
+    Each grid tile writes 6 TILE-LOCAL partials (no cross-tile scalar
+    chain) into its 8-slot stride of the SMEM output ``part_ref``:
+      [0] tile max of lw'     [1] tile sum exp(lw' - max)
+      [2] tile sum exp(2(lw' - max))   [3..5] tile-best (x, y, yaw)
+    The global logsumexp / argmax combine over the ~G tile partials runs
+    in XLA (:func:`_combine_stats`) - measured on a v5e, the previous
+    online-rescaling SMEM accumulator cost ~0.5 ms/step at 2M particles
+    in PURE SCALAR work (4 scalar ``exp``s per tile on the critical path
+    between grid steps; scripts/tpu_pf_profile2/4.py), invariant to
+    vector-lane occupancy.  ``flag_ref[0] > 0`` treats incoming log
     weights as uniform 0 (the NaN->uniform reset of
     particle_filter.py:226-237, applied lazily in-pass).
+
+    ``sub_rows`` is the packed-layout row factor R: particle i of the
+    flat order lives at row ``i // n8``, column ``i % n8`` of an
+    ``(R, n8)`` plane (R=1 is the flat layout).  Packing R=8 fills all
+    f32 vreg sublanes - the flat ``(1, tile)`` rows run every VPU op at
+    1/8 occupancy (measured 2.5x on the Box-Muller block alone).
     """
     if noise_on:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    lw_in = lw_in_ref[0:1, :]
+    r = sub_rows
+    lw_in = lw_in_ref[:, :]
     lw_in = jnp.where(flag_ref[0] > 0.0, 0.0, lw_in)
 
     x, y, yaw, acc = _predict_loglik(
-        cfg, z_ref, p_in_ref[0:1, :], p_in_ref[1:2, :], p_in_ref[2:3, :],
-        noise_on)
+        cfg, z_ref, p_in_ref[0:r, :], p_in_ref[r:2 * r, :],
+        p_in_ref[2 * r:3 * r, :], noise_on)
     lw = lw_in + acc
 
     pid = pl.program_id(0)
-    # Global lane index (f32 is exact up to 2^24 particles) for masking
-    # the padded tail and for a consistent argmax pick.  (Mosaic's iota
-    # is integer-only; cast after.)
-    idx = (jax.lax.broadcasted_iota(jnp.int32, lw.shape, 1)
+    # Global FLAT particle index (f32 is exact up to 2^24 particles) for
+    # masking the padded tail and a consistent argmax pick.  (Mosaic's
+    # iota is integer-only; cast after.)
+    sub = jax.lax.broadcasted_iota(jnp.int32, lw.shape, 0)
+    idx = (sub.astype(jnp.float32) * float(n8)
+           + jax.lax.broadcasted_iota(jnp.int32, lw.shape, 1)
            .astype(jnp.float32) + pid.astype(jnp.float32) * float(tile_n))
     lane_valid = idx < float(n_valid)
     neg_inf = jnp.float32(-jnp.inf)
@@ -171,13 +184,17 @@ def _pf_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
     # (exp -> 0 in the resample cumsum) never see ballast values.
     lw_m = jnp.where(lane_valid, lw, neg_inf)
 
-    p_out_ref[0:1, :] = x
-    p_out_ref[1:2, :] = y
-    p_out_ref[2:3, :] = yaw
-    lw_out_ref[0:1, :] = lw_m
+    p_out_ref[0:r, :] = x
+    p_out_ref[r:2 * r, :] = y
+    p_out_ref[2 * r:3 * r, :] = yaw
+    lw_out_ref[:, :] = lw_m
 
     tile_max = jnp.max(lw_m)
-    e = jnp.exp(lw_m - tile_max)  # exp(-inf - m) == 0
+    # All-padding tiles (possible in the packed layout: a whole trailing
+    # row plane can be ballast) have tile_max = -inf; clamp the exp
+    # shift so e underflows to 0 instead of exp(-inf + inf) = NaN.
+    m_safe = jnp.maximum(tile_max, jnp.float32(-1e30))
+    e = jnp.exp(lw_m - m_safe)  # exp(-inf - m) == 0
     tile_sum = jnp.sum(e)
     tile_sum2 = jnp.sum(e * e)  # exp(2(lw - m)) without a second exp
 
@@ -190,43 +207,38 @@ def _pf_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
     by = jnp.max(jnp.where(sel, y, neg_inf))
     byaw = jnp.max(jnp.where(sel, yaw, neg_inf))
 
-    @pl.when(pid == 0)
-    def _init():
-        acc_ref[0] = tile_max
-        acc_ref[1] = tile_sum
-        acc_ref[2] = 2.0 * tile_max
-        acc_ref[3] = tile_sum2
-        acc_ref[4] = tile_max
-        acc_ref[5] = bx
-        acc_ref[6] = by
-        acc_ref[7] = byaw
+    base = pid * 8
+    part_ref[base + 0] = tile_max
+    part_ref[base + 1] = tile_sum
+    part_ref[base + 2] = tile_sum2
+    part_ref[base + 3] = bx
+    part_ref[base + 4] = by
+    part_ref[base + 5] = byaw
+    part_ref[base + 6] = 0.0
+    part_ref[base + 7] = 0.0
 
-    @pl.when(pid > 0)
-    def _accumulate():
-        m_old = acc_ref[0]
-        m_new = jnp.maximum(m_old, tile_max)
-        acc_ref[1] = (acc_ref[1] * jnp.exp(m_old - m_new)
-                      + tile_sum * jnp.exp(tile_max - m_new))
-        acc_ref[0] = m_new
-        m2_old = acc_ref[2]
-        m2_new = jnp.maximum(m2_old, 2.0 * tile_max)
-        acc_ref[3] = (acc_ref[3] * jnp.exp(m2_old - m2_new)
-                      + tile_sum2 * jnp.exp(2.0 * tile_max - m2_new))
-        acc_ref[2] = m2_new
-        better = tile_max > acc_ref[4]
-        acc_ref[4] = jnp.where(better, tile_max, acc_ref[4])
-        acc_ref[5] = jnp.where(better, bx, acc_ref[5])
-        acc_ref[6] = jnp.where(better, by, acc_ref[6])
-        acc_ref[7] = jnp.where(better, byaw, acc_ref[7])
 
-    @pl.when(pid == pl.num_programs(0) - 1)
-    def _finish():
-        stats_ref[0] = acc_ref[0] + jnp.log(acc_ref[1])
-        stats_ref[1] = acc_ref[2] + jnp.log(acc_ref[3])
-        stats_ref[2] = acc_ref[5]
-        stats_ref[3] = acc_ref[6]
-        stats_ref[4] = acc_ref[7]
-        stats_ref[5] = acc_ref[4]
+def _combine_stats(parts):
+    """XLA combine of the per-tile kernel partials.
+
+    Args:
+        parts: ``(8 * G,)`` f32, 8-slot stride per tile (see
+            :func:`_pf_stats_kernel`).
+
+    Returns:
+        ``(6,)`` ``[lse, lse2, x_map, y_map, yaw_map, best_lw]`` - the
+        same contract the old in-kernel accumulator produced.  Tiny
+        (G ~ 128 at 2M particles) and fuses into one XLA kernel inside
+        the step.
+    """
+    p = parts.reshape(-1, 8)
+    m_g, s_g, s2_g = p[:, 0], p[:, 1], p[:, 2]
+    m = jnp.max(m_g)
+    e = jnp.exp(m_g - jnp.maximum(m, jnp.float32(-1e30)))
+    lse = m + jnp.log(jnp.sum(e * s_g))
+    lse2 = 2.0 * m + jnp.log(jnp.sum(e * e * s2_g))
+    i = jnp.argmax(m_g)  # first max, like the old strictly-greater chain
+    return jnp.stack([lse, lse2, p[i, 3], p[i, 4], p[i, 5], m])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
@@ -286,40 +298,42 @@ def pf_fused_predict_weight(cfg: PfConfig, seed, particles, log_w, z,
 def _pf_stats_call(cfg: PfConfig, seed, uniform_flag, p_in, lw_in, z,
                    tile_n: int, noise_on: bool, interpret: bool,
                    n_valid: int | None = None):
-    """Raw-layout stats kernel call: ``(3, N_pad)`` / ``(1, N_pad)`` in
-    and out, no transposes (the scan carry stays in kernel layout).
+    """Raw-layout stats kernel call: ``(3R, N8)`` / ``(R, N8)`` in and
+    out, no transposes (the scan carry stays in kernel layout).  The
+    packed row factor R is inferred from the shapes (R=1 is the classic
+    flat ``(3, N_pad)`` layout); ``tile_n`` is lanes per row per tile.
 
-    ``n_valid`` overrides the valid lane count (defaults to the full
-    particle count; the particle-sharded path passes its local shard
-    size)."""
-    n_pad = p_in.shape[1]
+    ``n_valid`` overrides the valid flat-index count (defaults to the
+    full particle count; the particle-sharded path passes its local
+    shard size)."""
+    r = p_in.shape[0] // 3
+    n8 = p_in.shape[1]
+    g = n8 // tile_n
     kernel = functools.partial(
         _pf_stats_kernel, cfg=cfg, noise_on=noise_on,
         n_valid=cfg.num_particles if n_valid is None else n_valid,
-        tile_n=tile_n)
-    row3 = pl.BlockSpec((3, tile_n), lambda i: (0, i),
+        tile_n=tile_n, sub_rows=r, n8=n8)
+    rowp = pl.BlockSpec((3 * r, tile_n), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    row1 = pl.BlockSpec((1, tile_n), lambda i: (0, i),
+    roww = pl.BlockSpec((r, tile_n), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    p_out, lw_out, parts = pl.pallas_call(
         kernel,
-        grid=(n_pad // tile_n,),
+        grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            row3,
-            row1,
+            rowp,
+            roww,
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((6,), jnp.float32),
+            jax.ShapeDtypeStruct((3 * r, n8), jnp.float32),
+            jax.ShapeDtypeStruct((r, n8), jnp.float32),
+            jax.ShapeDtypeStruct((8 * g,), jnp.float32),
         ),
-        out_specs=(row3, row1,
-                   pl.BlockSpec((6,), lambda i: (0,),
-                                memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.SMEM((8,), jnp.float32)],
+        out_specs=(rowp, roww,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         # Update the particle/weight buffers in place: each grid tile
         # reads only its own block before writing it, and the scan carry
         # donates its buffers - saves an HBM copy per step.
@@ -328,12 +342,24 @@ def _pf_stats_call(cfg: PfConfig, seed, uniform_flag, p_in, lw_in, z,
     )(jnp.asarray([seed], jnp.int32),
       jnp.asarray([uniform_flag], jnp.float32),
       jnp.asarray(z, jnp.float32), p_in, lw_in)
+    return p_out, lw_out, _combine_stats(parts)
 
 
-def _padded(cfg: PfConfig, tile_n: int) -> tuple[int, int]:
-    """(tile, padded particle count) for the fused layout."""
-    tile_n = min(tile_n, cfg.num_particles)
-    return tile_n, -(-cfg.num_particles // tile_n) * tile_n
+def _padded(cfg: PfConfig, tile_n: int,
+            sub_rows: int = 1) -> tuple[int, int]:
+    """(tile, padded particle count) for the fused layout.
+
+    With the packed layout (``sub_rows`` = R > 1) the padded count is a
+    multiple of ``R * tile_n`` so the ``(R, n_pad // R)`` planes tile
+    evenly; the tile shrinks (to a 128-lane multiple) rather than pad a
+    small particle set past 2x."""
+    if sub_rows == 1:
+        tile_n = min(tile_n, cfg.num_particles)
+        return tile_n, -(-cfg.num_particles // tile_n) * tile_n
+    while tile_n > 128 and tile_n * sub_rows > 2 * cfg.num_particles:
+        tile_n //= 2
+    chunk = tile_n * sub_rows
+    return tile_n, -(-cfg.num_particles // chunk) * chunk
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
@@ -388,23 +414,44 @@ class PfFusedState(typing.NamedTuple):
     """
 
     x_true: jax.Array  # (3,)
-    particles: jax.Array  # (3, N_pad)
-    log_w: jax.Array  # (1, N_pad) unnormalized; padded lanes -inf
+    particles: jax.Array  # (3R, N8); R*N8 = N_pad, R=1 is flat
+    log_w: jax.Array  # (R, N8) unnormalized; padded lanes -inf
     lse: jax.Array  # scalar
     lse2: jax.Array  # scalar
     x_est: jax.Array  # (3,)
 
 
+def _pack_rows(rows, r: int):
+    """Flat ``(k, N_pad)`` -> packed ``(k*R, N8)``: flat particle i goes
+    to row ``i // N8``, column ``i % N8`` of its variable's R-plane (a
+    pure row-major reshape per variable)."""
+    k, n_pad = rows.shape
+    return rows.reshape(k * r, n_pad // r)
+
+
+def _flat_rows(rows, r: int):
+    """Packed ``(k*R, N8)`` -> flat ``(k, N_pad)`` (inverse of
+    :func:`_pack_rows`)."""
+    kr, n8 = rows.shape
+    return rows.reshape(kr // r, n8 * r)
+
+
 def pf_fused_init(cfg: PfConfig, state0: PfState | None = None,
-                  tile_n: int = 2048) -> PfFusedState:
+                  tile_n: int = 2048, sub_rows: int = 1) -> PfFusedState:
     """Lift a :class:`PfState` into the fused (padded, row-major)
-    representation.  ``tile_n`` must match the step's tile."""
+    representation.  ``tile_n`` must match the step's tile.
+
+    ``sub_rows`` = R packs the particle axis into R vreg-sublane planes
+    (``(3R, N_pad/R)`` state; see :func:`_pf_stats_kernel`) - the
+    production choice for large N is 8 (full f32 sublane occupancy,
+    measured 3.2x the flat step cost at 2M particles with tile_n=2048;
+    scripts/tpu_pf_profile4.py)."""
     from tpuslam.filters.pf import pf_init
 
     if state0 is None:
         state0 = pf_init(cfg)
     n = cfg.num_particles
-    _, n_pad = _padded(cfg, tile_n)
+    _, n_pad = _padded(cfg, tile_n, sub_rows)
     lw = jnp.log(jnp.maximum(state0.weights, 1e-38)).astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(lw)
     lse2 = jax.scipy.special.logsumexp(2.0 * lw)
@@ -414,7 +461,8 @@ def pf_fused_init(cfg: PfConfig, state0: PfState | None = None,
     lw_rows = jnp.full((1, n_pad), -jnp.inf, jnp.float32)
     lw_rows = lw_rows.at[0, :n].set(lw)
     return PfFusedState(
-        x_true=state0.x_true, particles=p_rows, log_w=lw_rows,
+        x_true=state0.x_true, particles=_pack_rows(p_rows, sub_rows),
+        log_w=_pack_rows(lw_rows, sub_rows),
         lse=lse, lse2=lse2, x_est=state0.particles[idx])
 
 
@@ -424,8 +472,11 @@ def pf_fused_to_state(cfg: PfConfig, fs: PfFusedState) -> PfState:
     from tpuslam.filters.pf import weights_from_log
 
     n = cfg.num_particles
-    weights = weights_from_log(cfg, fs.log_w[0, :n], fs.lse)
-    return PfState(x_true=fs.x_true, particles=fs.particles.T[:n],
+    r = fs.particles.shape[0] // 3
+    lw = _flat_rows(fs.log_w, r)
+    p = _flat_rows(fs.particles, r)
+    weights = weights_from_log(cfg, lw[0, :n], fs.lse)
+    return PfState(x_true=fs.x_true, particles=p.T[:n],
                    weights=weights)
 
 
@@ -455,19 +506,26 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
 
     n = cfg.num_particles
     # The padded width is a property of the carried state (set by
-    # pf_fused_init's tile); the step's tile only needs to divide it.
-    n_pad = fs.particles.shape[1]
-    tile_n = min(tile_n, n_pad)
-    if n_pad % tile_n:
+    # pf_fused_init's tile and sub_rows); the step's tile only needs to
+    # divide the per-row width.
+    r = fs.particles.shape[0] // 3
+    n8 = fs.particles.shape[1]
+    tile_n = min(tile_n, n8)
+    if n8 % tile_n:
         raise ValueError(
-            f"state padded to {n_pad} lanes (from pf_fused_init) is not "
-            f"divisible by tile_n={tile_n}")
+            f"state padded to {n8} lanes/row (from pf_fused_init) is "
+            f"not divisible by tile_n={tile_n}")
     # ESS from the kernel stats: sum(w_norm^2) = exp(lse2 - 2 lse).
     bad = ~(jnp.isfinite(fs.lse) & jnp.isfinite(fs.lse2))
     ess = jnp.where(bad, float(n), jnp.exp(2.0 * fs.lse - fs.lse2))
     do_rs = ess < n * cfg.ess_threshold_frac
 
     def rs(p, lw):
+        # The resample kernels work on the flat lane order; the packed
+        # state relayouts to flat and back INSIDE the (rare) firing
+        # branch only - a pure reshape in flat-index space.
+        p = _flat_rows(p, r)
+        lw = _flat_rows(lw, r)
         # Padded lanes have lw = -inf -> weight 0 -> never selected.
         if cfg.resample_method == "merge":
             from tpuslam.ops.resample_pallas import merge_resample_rows
@@ -480,7 +538,7 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
             idx = resample_indices(k_rs, w, method=cfg.resample_method)
             p2 = jnp.zeros_like(p).at[:, :n].set(p[:, :n][:, idx])
         lw2 = jnp.full_like(lw, -jnp.inf).at[0, :n].set(0.0)
-        return p2, lw2
+        return _pack_rows(p2, r), _pack_rows(lw2, r)
 
     particles, log_w = jax.lax.cond(
         do_rs, rs, lambda p, lw: (p, lw), fs.particles, fs.log_w)
@@ -495,10 +553,11 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
     if cfg.estimate == "mean":
         from tpuslam.filters.pf import weights_from_log
 
-        weights = weights_from_log(cfg, log_w[0, :n], lse)
-        x = particles[0, :n]
-        y = particles[1, :n]
-        yaw = particles[2, :n]
+        p_flat = _flat_rows(particles, r)
+        weights = weights_from_log(cfg, _flat_rows(log_w, r)[0, :n], lse)
+        x = p_flat[0, :n]
+        y = p_flat[1, :n]
+        yaw = p_flat[2, :n]
         x_est = jnp.stack([
             jnp.sum(weights * x), jnp.sum(weights * y),
             jnp.arctan2(jnp.sum(weights * jnp.sin(yaw)),
@@ -506,7 +565,10 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
     else:
         # All-NaN weights reset to uniform; argmax of uniform = first
         # particle (np.argmax semantics, particle_filter.py:115-117).
-        x_est = jnp.where(jnp.isfinite(lse), stats[2:5], particles[:, 0])
+        # Flat particle 0 sits at column 0 of each variable's row plane.
+        p0 = jnp.stack([particles[0, 0], particles[r, 0],
+                        particles[2 * r, 0]])
+        x_est = jnp.where(jnp.isfinite(lse), stats[2:5], p0)
 
     return PfFusedState(x_true=x_true, particles=particles, log_w=log_w,
                         lse=lse, lse2=lse2, x_est=x_est), ess
@@ -530,15 +592,24 @@ def pf_fused_step(cfg: PfConfig, state: PfState, key, seed,
 
 def pf_fused_rollout(cfg: PfConfig, key, n_steps: int,
                      state0: PfState | None = None, noise_on: bool = True,
-                     interpret: bool = False, tile_n: int = 2048):
+                     interpret: bool = False, tile_n: int = 2048,
+                     sub_rows: int | None = None):
     """``n_steps`` fused PF steps under ``lax.scan``.
 
     The scan carry stays in the kernel's padded row layout; the two
     boundary relayouts (init/final) are the only transposes.
 
+    ``sub_rows=None`` auto-packs: R=8 sublane planes once the particle
+    set fills at least one full packed chunk per grid step (the flat
+    ``(1, tile)`` layout runs the VPU at 1/8 f32-sublane occupancy;
+    packed measured 2.9x at 2M particles, scripts/tpu_pf_profile4.py).
+    Noise-free bit-parity tests run small N and stay flat.
+
     Returns ``(final_state, (x_true, x_est))`` trajectory buffers.
     """
-    fs0 = pf_fused_init(cfg, state0, tile_n=tile_n)
+    if sub_rows is None:
+        sub_rows = 8 if cfg.num_particles >= 8 * tile_n else 1
+    fs0 = pf_fused_init(cfg, state0, tile_n=tile_n, sub_rows=sub_rows)
     keys = jax.random.split(key, n_steps)
 
     def body(carry, k):
