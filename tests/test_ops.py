@@ -636,6 +636,115 @@ class TestPfBatchKernel:
         assert np.isfinite(np.asarray(outs.ess)).all()
 
 
+class TestPfBatchPackedLayout:
+    """Sublane-packed batched PF (R planes per filter) vs the flat
+    layout (ops/pf_batch_pallas.py sub_rows)."""
+
+    def _states(self, rng, n, b, cfg, lw_rows_fn=None):
+        from tpuslam.ops import pf_batch_init
+        from tpuslam.ops.pf_batch_pallas import (_padded_p,
+                                                 pack_batch_rows)
+
+        st_flat = pf_batch_init(cfg, b, sub_rows=1)
+        P = _padded_p(cfg, 1)
+        parts = rng.normal(size=(n, 3)).astype(np.float32) \
+            + np.array([10.0, 0.0, np.pi / 2], np.float32)
+        p_rows = np.zeros((3, b * P), np.float32)
+        lw_rows = np.full((1, b * P), -np.inf, np.float32)
+        for f in range(b):
+            p_rows[:, f * P:f * P + n] = parts.T
+            lw = (lw_rows_fn(f) if lw_rows_fn is not None
+                  else np.log(np.full(n, 1.0 / n)))
+            lw_rows[0, f * P:f * P + n] = lw
+        st_flat = st_flat._replace(particles=jnp.asarray(p_rows),
+                                   log_w=jnp.asarray(lw_rows))
+        # Same flat content, packed into 8 sublane planes per filter
+        # (requires P divisible by 8*128 -> use n that pads equally).
+        st_packed = st_flat._replace(
+            particles=pack_batch_rows(st_flat.particles, b, 8),
+            log_w=pack_batch_rows(st_flat.log_w, b, 8))
+        return st_flat, st_packed
+
+    def test_pack_roundtrip(self, rng):
+        from tpuslam.ops.pf_batch_pallas import (flat_batch_rows,
+                                                 pack_batch_rows)
+
+        rows = jnp.asarray(rng.normal(size=(3, 2 * 1024)), jnp.float32)
+        packed = pack_batch_rows(rows, 2, 8)
+        assert packed.shape == (24, 2 * 128)
+        # Filter 1, flat particle 130 -> plane row 1, col 128 + 2.
+        np.testing.assert_array_equal(np.asarray(packed[1, 128 + 2]),
+                                      np.asarray(rows[0, 1024 + 130]))
+        np.testing.assert_array_equal(
+            np.asarray(flat_batch_rows(packed, 2, 8)), np.asarray(rows))
+
+    def test_packed_step_matches_flat_no_fire(self, rng):
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_step
+        from tpuslam.ops.pf_batch_pallas import flat_batch_rows
+
+        n, b = 1000, 2  # pads to 1024 in both layouts
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       ess_threshold_frac=1e-6)  # gate closed
+        st_f, st_p = self._states(rng, n, b, cfg)
+        key = jax.random.key(7)
+        sf, of = pf_batch_step(cfg, st_f, key, 0, noise_on=False,
+                               interpret=True)
+        sp, op = pf_batch_step(cfg, st_p, key, 0, noise_on=False,
+                               interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(flat_batch_rows(sp.particles, b, 8)),
+            np.asarray(sf.particles), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(flat_batch_rows(sp.log_w, b, 8)),
+            np.asarray(sf.log_w), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(op.x_est),
+                                   np.asarray(of.x_est), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(op.ess),
+                                   np.asarray(of.ess), rtol=1e-4)
+
+    def test_packed_resample_matches_flat(self, rng):
+        """Firing step: the packed path relayouts through the flat
+        scratch and must reproduce the flat in-tile selection exactly
+        (same quantized weights, offs pinned 0.5 noise-free)."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_step
+        from tpuslam.ops.pf_batch_pallas import flat_batch_rows
+
+        n, b = 1000, 2
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       ess_threshold_frac=2.0,  # always fire
+                       q_std=(0.0, 0.0, 0.0))
+        lw_fn = lambda f: rng.normal(size=n) * 4.0  # noqa: E731
+        st_f, st_p = self._states(rng, n, b, cfg, lw_rows_fn=lw_fn)
+        key = jax.random.key(9)
+        sf, of = pf_batch_step(cfg, st_f, key, 0, noise_on=False,
+                               interpret=True)
+        sp, op = pf_batch_step(cfg, st_p, key, 0, noise_on=False,
+                               interpret=True)
+        assert bool(of.resampled.all()) and bool(op.resampled.all())
+        np.testing.assert_array_equal(
+            np.asarray(flat_batch_rows(sp.particles, b, 8)),
+            np.asarray(sf.particles))
+        np.testing.assert_allclose(np.asarray(op.x_est),
+                                   np.asarray(of.x_est), atol=1e-5)
+
+    def test_packed_rollout_tracks_truth(self):
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_rollout
+
+        cfg = PfConfig(num_particles=1000, weight_mode="log")
+        final, outs = pf_batch_rollout(cfg, jax.random.key(3), batch=2,
+                                       n_steps=40, noise_on=False,
+                                       interpret=True, sub_rows=8)
+        assert final.particles.shape[0] == 24
+        x_est = np.asarray(outs.x_est)
+        x_true = np.asarray(outs.x_true)
+        err = x_est[:, :, :2] - x_true[:, None, :2]
+        assert np.sqrt((err ** 2).sum(-1).mean()) < 0.5
+        assert not np.asarray(outs.bad).any()
+
+
 class TestFastmath:
     """Polynomial sincos used by the kernels' Box-Muller noise
     (ops/fastmath.py); accuracy must be ~f32-ulp over the full turn."""

@@ -71,11 +71,18 @@ class PfBatchState(typing.NamedTuple):
     deterministic, so every filter tracks the same truth (matching
     ``pf_rollout_batch``, where vmapped truths are identical); only the
     observation noise differs per filter.
+
+    With the sublane-packed layout (``sub_rows`` = R > 1 at init) the
+    buffers are ``(3R, B*P/R)`` / ``(R, B*P/R)``: filter f's flat
+    particle i lives at row ``var*R + i // (P/R)``, column
+    ``f*(P/R) + i % (P/R)`` - each variable fills R vreg sublanes so
+    the kernel's VPU ops run at full f32 occupancy (the flat R=1 rows
+    use 1/8 of each vreg; see ops/pf_pallas.py::_pf_stats_kernel).
     """
 
     x_true: jax.Array  # (3,)
-    particles: jax.Array  # (3, B*P)
-    log_w: jax.Array  # (1, B*P)
+    particles: jax.Array  # (3R, B*P/R)
+    log_w: jax.Array  # (R, B*P/R)
 
 
 class PfBatchOut(typing.NamedTuple):
@@ -87,18 +94,53 @@ class PfBatchOut(typing.NamedTuple):
     bad: jax.Array  # (B,) bool - NaN/-inf weight reset fired
 
 
-def _padded_p(cfg: PfConfig) -> int:
-    return -(-cfg.num_particles // 128) * 128
+def _padded_p(cfg: PfConfig, sub_rows: int = 1) -> int:
+    base = 128 * sub_rows
+    return -(-cfg.num_particles // base) * base
 
 
-def pf_batch_init(cfg: PfConfig, batch: int) -> PfBatchState:
-    """All filters at x0 with uniform weights (particle_filter.py:77-84)."""
-    p = _padded_p(cfg)
+def _auto_sub_rows(cfg: PfConfig) -> int:
+    """8 when the packed padding stays within 2x of the flat padding
+    (e.g. the reference's 1000 particles pad to 1024 either way)."""
+    return 8 if _padded_p(cfg, 8) <= 2 * _padded_p(cfg, 1) else 1
+
+
+def pack_batch_rows(rows: jax.Array, batch: int, r: int) -> jax.Array:
+    """Flat ``(k, B*P)`` -> packed ``(k*R, B*P/R)``: filter f's flat
+    particle i goes to row ``v*R + i // (P/R)``, column
+    ``f*(P/R) + i % (P/R)`` of variable v's plane."""
+    k, bp = rows.shape
+    p = bp // batch
+    p8 = p // r
+    return (rows.reshape(k, batch, r, p8).transpose(0, 2, 1, 3)
+            .reshape(k * r, batch * p8))
+
+
+def flat_batch_rows(rows: jax.Array, batch: int, r: int) -> jax.Array:
+    """Inverse of :func:`pack_batch_rows`."""
+    kr, bp8 = rows.shape
+    k = kr // r
+    p8 = bp8 // batch
+    return (rows.reshape(k, r, batch, p8).transpose(0, 2, 1, 3)
+            .reshape(k, batch * r * p8))
+
+
+def pf_batch_init(cfg: PfConfig, batch: int,
+                  sub_rows: int = 1) -> PfBatchState:
+    """All filters at x0 with uniform weights (particle_filter.py:77-84).
+
+    ``sub_rows`` = R packs each filter's particle axis into R
+    vreg-sublane planes (see :class:`PfBatchState`); R=1 is the flat
+    layout the interpret-mode parity tests use."""
+    r = sub_rows
+    p = _padded_p(cfg, r)
+    p8 = p // r
     n = cfg.num_particles
     x0 = jnp.asarray(cfg.x0, jnp.float32)
-    lane = jnp.arange(p) < n
-    p_blk = jnp.where(lane[None, :], x0[:, None], 0.0)
-    lw_blk = jnp.where(lane[None, :], -math.log(float(n)), -jnp.inf)
+    valid = (jnp.arange(p).reshape(r, p8) < n)
+    p_blk = jnp.where(valid[None], x0[:, None, None], 0.0)  # (3, R, P8)
+    p_blk = p_blk.reshape(3 * r, p8)
+    lw_blk = jnp.where(valid, -math.log(float(n)), -jnp.inf)
     return PfBatchState(
         x_true=x0,
         particles=jnp.tile(p_blk, (1, batch)).astype(jnp.float32),
@@ -107,14 +149,20 @@ def pf_batch_init(cfg: PfConfig, batch: int) -> PfBatchState:
 
 def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
                      lw_ref, p_out_ref, lw_out_ref, st_ref, p_cur,
-                     lw_cur, *, cfg: PfConfig, P: int, noise_on: bool):
+                     lw_cur, flat3, flat1, *, cfg: PfConfig, P: int,
+                     noise_on: bool, sub_rows: int):
     f = pl.program_id(0)
     n = cfg.num_particles
+    r = sub_rows
+    p8 = P // r
     if noise_on:
         pltpu.prng_seed(seed_ref[0] + f)
 
-    lw = lw_ref[0:1, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    lw = lw_ref[:, :]  # (R, P8); R=1 is the flat layout
+    # Flat per-filter particle index of each packed element (row-major
+    # over the R planes; exact in f32/int32 well past any tile size).
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (r, p8), 0) * p8
+            + jax.lax.broadcasted_iota(jnp.int32, (r, p8), 1))
     valid = lane < n
     neg_inf = jnp.float32(-jnp.inf)
 
@@ -135,7 +183,7 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
     # does not depend on the gate (reduced to a scalar - Mosaic-friendly
     # alternative to a vector lane read).
     if noise_on:
-        bits = pltpu.prng_random_bits((1, P))
+        bits = pltpu.prng_random_bits((r, p8))
         offs = jnp.sum(
             jax.lax.shift_right_logical(bits[0:1, 0:1], 8)
             .astype(jnp.float32)) * (1.0 / (1 << 24))
@@ -162,9 +210,22 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
         # lanes' intervals overlap and the value matmul SUM two
         # particles into one slot.)  Weights below 2^-21 of the total
         # quantize to zero slots - statistically negligible.
+        #
+        # The interval machinery works on the FLAT per-filter lane
+        # order (the one-hot cumsum/expand matmuls contract over lanes);
+        # the packed R>1 layout relayouts through the flat VMEM scratch
+        # rows with R static row copies per variable - cheap, and only
+        # on the (gated) firing path.
         w = jnp.exp(lw_norm)  # padding lanes 0
         wq = jnp.round(w * float(1 << 20))  # integers in [0, 2^20]
-        wh, wm, wl = split3_kernel(wq)
+        if r == 1:
+            wq_f = wq
+        else:
+            for k in range(r):
+                flat1[0:1, k * p8:(k + 1) * p8] = wq[k:k + 1, :]
+            wq_f = flat1[0:1, :]
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        wh, wm, wl = split3_kernel(wq_f)
         w3 = jnp.concatenate([wh, wm, wl], axis=0)  # (3, P) bf16
         cum_i3 = jax.lax.dot_general(
             w3, lt_inc_ref[:, :], (((1,), (0,)), ((), ())),
@@ -182,36 +243,54 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
         inv_tot = 1.0 / q_tot
         t_hi = jnp.clip(boundary_law(cum_i, inv_tot, n, offs), 0.0,
                         float(n))
-        t_hi = jnp.where(lane >= n - 1, float(n), t_hi)
+        t_hi = jnp.where(lane_f >= n - 1, float(n), t_hi)
         t_lo = jnp.clip(boundary_law(cum_e, inv_tot, n, offs), 0.0,
                         float(n))
-        t_lo = jnp.where(lane >= n, float(n), t_lo)
+        t_lo = jnp.where(lane_f >= n, float(n), t_lo)
 
         i_sub = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) \
             .astype(jnp.float32)
         msk = ((i_sub >= t_lo) & (i_sub < t_hi)).astype(jnp.bfloat16)
         # Split-major value rows: [x y yaw]_hi, _mid, _lo.
-        vh, vm, vl = split3_kernel(p_ref[:, :])
+        if r == 1:
+            v_f = p_ref[:, :]
+        else:
+            for v in range(3):
+                for k in range(r):
+                    flat3[v:v + 1, k * p8:(k + 1) * p8] = \
+                        p_ref[v * r + k:v * r + k + 1, :]
+            v_f = flat3[:, :]
+        vh, vm, vl = split3_kernel(v_f)
         v9 = jnp.concatenate([vh, vm, vl], axis=0)  # (9, P) bf16
         part = jax.lax.dot_general(
             v9, msk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (9, P)
-        p_cur[0:1, :] = part[0:1] + part[3:4] + part[6:7]
-        p_cur[1:2, :] = part[1:2] + part[4:5] + part[7:8]
-        p_cur[2:3, :] = part[2:3] + part[5:6] + part[8:9]
+        px = part[0:1] + part[3:4] + part[6:7]
+        py = part[1:2] + part[4:5] + part[7:8]
+        pyaw = part[2:3] + part[5:6] + part[8:9]
+        if r == 1:
+            p_cur[0:1, :] = px
+            p_cur[1:2, :] = py
+            p_cur[2:3, :] = pyaw
+        else:
+            for k in range(r):
+                sl = slice(k * p8, (k + 1) * p8)
+                p_cur[k:k + 1, :] = px[0:1, sl]
+                p_cur[r + k:r + k + 1, :] = py[0:1, sl]
+                p_cur[2 * r + k:2 * r + k + 1, :] = pyaw[0:1, sl]
         lw_cur[:, :] = jnp.where(valid, -math.log(float(n)), neg_inf)
 
     # --- predict + landmark log-likelihood ----------------------------
     zget = lambda li, c: z_ref[0, 2 * li + c]  # noqa: E731
     x, y, yaw, acc = _predict_loglik(
-        cfg, z_ref, p_cur[0:1, :], p_cur[1:2, :], p_cur[2:3, :],
+        cfg, z_ref, p_cur[0:r, :], p_cur[r:2 * r, :], p_cur[2 * r:3 * r, :],
         noise_on, z_get=zget)
-    lw_new = jnp.where(valid, lw_cur[0:1, :] + acc, neg_inf)
+    lw_new = jnp.where(valid, lw_cur[:, :] + acc, neg_inf)
 
-    p_out_ref[0:1, :] = x
-    p_out_ref[1:2, :] = y
-    p_out_ref[2:3, :] = yaw
-    lw_out_ref[0:1, :] = lw_new
+    p_out_ref[0:r, :] = x
+    p_out_ref[r:2 * r, :] = y
+    p_out_ref[2 * r:3 * r, :] = yaw
+    lw_out_ref[:, :] = lw_new
 
     # --- per-filter stats row (SMEM scalars) --------------------------
     m2 = jnp.max(lw_new)
@@ -246,8 +325,10 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
     Returns:
         ``(next_state, PfBatchOut)``.
     """
-    P = _padded_p(cfg)
-    b = state.particles.shape[1] // P
+    r = state.particles.shape[0] // 3  # packed row factor (1 = flat)
+    P = _padded_p(cfg, r)
+    p8 = P // r
+    b = state.particles.shape[1] // p8
 
     x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
     lm = jnp.asarray(cfg.landmarks, jnp.float32)
@@ -265,10 +346,10 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
     lt_exc = (ii[:, None] < ii[None, :]).astype(jnp.bfloat16)
 
     kernel = functools.partial(_pf_batch_kernel, cfg=cfg, P=P,
-                               noise_on=noise_on)
-    row3 = pl.BlockSpec((3, P), lambda f: (0, f),
+                               noise_on=noise_on, sub_rows=r)
+    row3 = pl.BlockSpec((3 * r, p8), lambda f: (0, f),
                         memory_space=pltpu.VMEM)
-    row1 = pl.BlockSpec((1, P), lambda f: (0, f),
+    row1 = pl.BlockSpec((r, p8), lambda f: (0, f),
                         memory_space=pltpu.VMEM)
     const = pl.BlockSpec((P, P), lambda f: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -282,14 +363,16 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
             const, const, row3, row1,
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((3, b * P), jnp.float32),
-            jax.ShapeDtypeStruct((1, b * P), jnp.float32),
+            jax.ShapeDtypeStruct((3 * r, b * p8), jnp.float32),
+            jax.ShapeDtypeStruct((r, b * p8), jnp.float32),
             jax.ShapeDtypeStruct((1, b * 128), jnp.float32),
         ),
         out_specs=(row3, row1,
                    pl.BlockSpec((1, 128), lambda f: (0, f),
                                 memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((3, P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * r, p8), jnp.float32),
+                        pltpu.VMEM((r, p8), jnp.float32),
+                        pltpu.VMEM((3, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32)],
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
@@ -305,13 +388,22 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
 
 
 def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
-                     noise_on: bool = True, interpret: bool = False):
+                     noise_on: bool = True, interpret: bool = False,
+                     sub_rows: int | None = None):
     """``n_steps`` batched fused steps under ``lax.scan``.
+
+    ``sub_rows=None`` auto-packs each filter's particle axis into 8
+    vreg-sublane planes when the packed padding stays within 2x of the
+    flat padding (the reference's 1000 particles pad to 1024 either
+    way) - the flat (1, P) rows run the kernel's VPU work at 1/8 f32
+    sublane occupancy (see ops/pf_pallas.py).
 
     Returns ``(final_state, outs)`` with outs stacked over steps
     (``x_est (T, B, 3)``, ``ess (T, B)``, ...).
     """
-    state0 = pf_batch_init(cfg, batch)
+    if sub_rows is None:
+        sub_rows = _auto_sub_rows(cfg)
+    state0 = pf_batch_init(cfg, batch, sub_rows=sub_rows)
     keys = jax.random.split(key, n_steps)
 
     def body(carry, inp):
