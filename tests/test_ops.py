@@ -744,6 +744,36 @@ class TestPfBatchPackedLayout:
         assert np.sqrt((err ** 2).sum(-1).mean()) < 0.5
         assert not np.asarray(outs.bad).any()
 
+    def test_wide_packed_rollout_matches_flat(self):
+        """Wide batched PF: the packed pass-C carry (+ flat-order
+        transposes inside the firing branch) must reproduce the flat
+        rollout bit-for-bit on the noise-free path (same quantized
+        selection, same offs stream)."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_wide_rollout
+        from tpuslam.ops.pf_batch_pallas import flat_batch_rows
+
+        # Noise-free clouds stay identical, so ESS = n and the default
+        # gate never fires; force it so the firing relayout is covered.
+        cfg = PfConfig(num_particles=2048, weight_mode="log",
+                       ess_threshold_frac=2.0)  # always fire
+        key = jax.random.key(13)
+        ff, of = pf_batch_wide_rollout(cfg, key, batch=2, n_steps=8,
+                                       noise_on=False, interpret=True,
+                                       sub_rows=1)
+        fp, op = pf_batch_wide_rollout(cfg, key, batch=2, n_steps=8,
+                                       noise_on=False, interpret=True,
+                                       sub_rows=8)
+        assert fp.particles.shape[0] == 24
+        assert bool(np.asarray(of.resampled).any())
+        np.testing.assert_array_equal(
+            np.asarray(flat_batch_rows(fp.particles, 2, 8)),
+            np.asarray(ff.particles))
+        np.testing.assert_allclose(np.asarray(op.x_est),
+                                   np.asarray(of.x_est), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(op.lse),
+                                   np.asarray(of.lse), rtol=1e-5)
+
 
 class TestFastmath:
     """Polynomial sincos used by the kernels' Box-Muller noise

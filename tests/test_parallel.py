@@ -130,6 +130,64 @@ class TestShardedFusedPf:
         np.testing.assert_allclose(np.asarray(fs_s2.x_est),
                                    np.asarray(fs_12.x_est), atol=1e-5)
 
+    def test_packed_shards_match_flat(self):
+        """Sublane-packed local shards (sub_rows=8): stats, estimate
+        and the resample firing path must match the flat sharded step
+        (same keys; the packed state is a per-device relayout of the
+        same cloud)."""
+        from tpuslam.ops.pf_pallas import _flat_rows, _pack_rows
+        from tpuslam.parallel import (make_mesh, sharded_pf_fused_init,
+                                      sharded_pf_fused_step)
+
+        n, n_dev = 2048, 4
+        cfg = PfConfig(num_particles=n, weight_mode="log",
+                       resample_method="merge", ess_threshold_frac=0.9)
+        mesh = make_mesh(n_rollout=1, n_particle=n_dev)
+        fs_f = sharded_pf_fused_init(cfg, mesh, tile_n=32, sub_rows=1)
+        fs_p = sharded_pf_fused_init(cfg, mesh, tile_n=32, sub_rows=8)
+        n_local = n // n_dev
+        rng = np.random.default_rng(11)
+        parts = rng.normal(size=(3, n)).astype(np.float32) * 0.3 \
+            + np.array([[10.0], [0.0], [np.pi / 2]], np.float32)
+        lw = (rng.normal(size=n) * 3.0).astype(np.float32)
+        lse = float(np.log(np.exp(lw).sum()))
+        lse2 = float(np.log(np.exp(2 * lw).sum()))
+        # Per-device flat blocks (no padding at this size).
+        fs_f = fs_f._replace(particles=jnp.asarray(parts),
+                             log_w=jnp.asarray(lw[None]),
+                             lse=jnp.float32(lse), lse2=jnp.float32(lse2))
+        # Same cloud, each device block packed into 8 planes.
+        pp = np.concatenate(
+            [np.asarray(_pack_rows(
+                jnp.asarray(parts[:, d * n_local:(d + 1) * n_local]), 8))
+             for d in range(n_dev)], axis=1)
+        lwp = np.concatenate(
+            [np.asarray(_pack_rows(
+                jnp.asarray(lw[None, d * n_local:(d + 1) * n_local]), 8))
+             for d in range(n_dev)], axis=1)
+        fs_p = fs_p._replace(particles=jnp.asarray(pp),
+                             log_w=jnp.asarray(lwp),
+                             lse=jnp.float32(lse), lse2=jnp.float32(lse2))
+        key = jax.random.key(2)
+        ff2, ess_f = jax.jit(lambda f, k: sharded_pf_fused_step(
+            cfg, mesh, f, k, 0, noise_on=False, interpret=True,
+            tile_n=32))(fs_f, key)
+        fp2, ess_p = jax.jit(lambda f, k: sharded_pf_fused_step(
+            cfg, mesh, f, k, 0, noise_on=False, interpret=True,
+            tile_n=32))(fs_p, key)
+        assert float(ess_f) < n * 0.9  # the gate fired
+        assert np.isclose(float(ess_p), float(ess_f), rtol=1e-5)
+        assert np.isclose(float(fp2.lse), float(ff2.lse), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fp2.x_est),
+                                   np.asarray(ff2.x_est), atol=1e-5)
+        # Per-device blocks must hold the same resampled particles.
+        n8 = n_local // 8
+        for d in range(n_dev):
+            blk = fp2.particles[:, d * n8:(d + 1) * n8]
+            np.testing.assert_array_equal(
+                np.asarray(_flat_rows(blk, 8)),
+                np.asarray(ff2.particles[:, d * n_local:(d + 1) * n_local]))
+
     def test_resample_branch_global_comb(self):
         """A skewed cloud trips the gate; resampled particles must come
         from the heavy support on EVERY shard (global comb)."""

@@ -438,11 +438,18 @@ class PfBatchWideState(typing.NamedTuple):
     with ``Np = W * tile``; log weights are UNNORMALIZED with padding
     lanes pinned to ``-inf``; per-filter normalizers (``lse``, ``lse2``)
     ride as ``(B,)`` rows like the single-filter fused state.
+
+    With the sublane-packed layout (``sub_rows`` = R > 1 at init) the
+    buffers are ``(3R, B*Np/R)`` / ``(R, B*Np/R)`` in the
+    :func:`pack_batch_rows` order: pass C (predict + weight + stats,
+    every step) runs at full f32 vreg occupancy; the resample passes
+    work on the flat order, reached by one XLA transpose inside the
+    (gated) firing branch.
     """
 
     x_true: jax.Array  # (3,)
-    particles: jax.Array  # (3, B*Np)
-    log_w: jax.Array  # (1, B*Np)
+    particles: jax.Array  # (3R, B*Np/R)
+    log_w: jax.Array  # (R, B*Np/R)
     lse: jax.Array  # (B,)
     lse2: jax.Array  # (B,)
     x_est: jax.Array  # (B, 3)
@@ -460,15 +467,22 @@ def _wide_dims(cfg: PfConfig, tile_n: int):
     return w_tiles, w_tiles * tile_n
 
 
-def pf_batch_wide_init(cfg: PfConfig, batch: int,
-                       tile_n: int = 1024) -> PfBatchWideState:
-    """All filters at x0 with uniform weights (particle_filter.py:77-84)."""
+def pf_batch_wide_init(cfg: PfConfig, batch: int, tile_n: int = 1024,
+                       sub_rows: int = 1) -> PfBatchWideState:
+    """All filters at x0 with uniform weights (particle_filter.py:77-84).
+
+    ``sub_rows`` = R packs each filter's particle axis into R
+    vreg-sublane planes (see :class:`PfBatchWideState`); R=1 is the
+    flat layout the interpret-mode parity tests use."""
+    r = sub_rows
     w_tiles, np_ = _wide_dims(cfg, tile_n)
+    np8 = np_ // r
     n = cfg.num_particles
     x0 = jnp.asarray(cfg.x0, jnp.float32)
-    lane = jnp.arange(np_) < n
-    p_blk = jnp.where(lane[None, :], x0[:, None], 0.0)
-    lw_blk = jnp.where(lane[None, :], 0.0, -jnp.inf)
+    valid = (jnp.arange(np_).reshape(r, np8) < n)
+    p_blk = jnp.where(valid[None], x0[:, None, None], 0.0)
+    p_blk = p_blk.reshape(3 * r, np8)
+    lw_blk = jnp.where(valid, 0.0, -jnp.inf)
     lse = jnp.full((batch,), math.log(float(n)), jnp.float32)
     return PfBatchWideState(
         x_true=x0,
@@ -526,45 +540,59 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
 
 
 def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
-                       p_out_ref, lw_out_ref, stats_ref, acc_ref, *,
-                       cfg: PfConfig, noise_on: bool, w_tiles: int,
-                       tile_n: int):
-    """Pass C, grid (B, W): predict + weight + per-filter reductions.
+                       p_out_ref, lw_out_ref, part_ref, *,
+                       cfg: PfConfig, noise_on: bool, c_cells: int,
+                       np8: int, sub_rows: int):
+    """Pass C, grid (B, C): predict + weight + per-chunk partials.
 
-    The wide twin of the single-filter ``_pf_stats_kernel``: SMEM
-    accumulators reset at each filter's first tile and finalized at its
-    last, writing the filter's stats row
-    ``[lse, lse2, x_map, y_map, yaw_map, best_lw]``.
+    The wide twin of the single-filter ``_pf_stats_kernel``: each grid
+    cell covers a CHUNK of consecutive packed lanes (several resample
+    tiles - the per-cell fixed cost measured ~0.5 us on a v5e, so the
+    old one-tile-per-cell (B, W) grid paid ~5 ms/step at 1024x10k's
+    10240 cells) and writes 8 chunk-local partials (max, sum, sum2,
+    best x/y/yaw) into its stride of ``part_ref``; the per-filter
+    logsumexp/argmax combine over the C chunks runs in XLA
+    (:func:`_combine_wide_stats`).
     """
     f = pl.program_id(0)
-    w = pl.program_id(1)
+    g = pl.program_id(1)
     n = cfg.num_particles
+    r = sub_rows
+    c8 = lw_in_ref.shape[1]  # lanes per packed row per chunk
     if noise_on:
-        pltpu.prng_seed(seed_ref[0] + f * w_tiles + w)
+        pltpu.prng_seed(seed_ref[0] + f * c_cells + g)
 
-    lw_in = lw_in_ref[0:1, :]
+    lw_in = lw_in_ref[:, :]  # (R, C8); R=1 is the flat layout
     lw_in = jnp.where(flag_ref[f] > 0.0, 0.0, lw_in)
 
     zget = lambda li, c: z_ref[0, 2 * li + c]  # noqa: E731
     x, y, yaw, acc = _predict_loglik(
-        cfg, z_ref, p_in_ref[0:1, :], p_in_ref[1:2, :], p_in_ref[2:3, :],
-        noise_on, z_get=zget)
+        cfg, z_ref, p_in_ref[0:r, :], p_in_ref[r:2 * r, :],
+        p_in_ref[2 * r:3 * r, :], noise_on, z_get=zget)
     lw = lw_in + acc
 
-    idx = (jax.lax.broadcasted_iota(jnp.int32, lw.shape, 1)
-           .astype(jnp.float32) + jnp.float32(tile_n) *
-           w.astype(jnp.float32))
+    # Flat per-filter particle index (pack_batch_rows order: plane row
+    # s covers flat [s*Np/R, (s+1)*Np/R), chunk g its [g*C8, (g+1)*C8)
+    # slice).
+    idx = (jax.lax.broadcasted_iota(jnp.int32, lw.shape, 0)
+           .astype(jnp.float32) * jnp.float32(np8)
+           + jax.lax.broadcasted_iota(jnp.int32, lw.shape, 1)
+           .astype(jnp.float32) + jnp.float32(c8) *
+           g.astype(jnp.float32))
     lane_valid = idx < float(n)
     neg_inf = jnp.float32(-jnp.inf)
     lw_m = jnp.where(lane_valid, lw, neg_inf)
 
-    p_out_ref[0:1, :] = x
-    p_out_ref[1:2, :] = y
-    p_out_ref[2:3, :] = yaw
-    lw_out_ref[0:1, :] = lw_m
+    p_out_ref[0:r, :] = x
+    p_out_ref[r:2 * r, :] = y
+    p_out_ref[2 * r:3 * r, :] = yaw
+    lw_out_ref[:, :] = lw_m
 
     tile_max = jnp.max(lw_m)
-    e = jnp.exp(lw_m - tile_max)
+    # All-padding tiles have tile_max = -inf; clamp the exp shift so e
+    # underflows to 0 instead of exp(-inf + inf) = NaN.
+    m_safe = jnp.maximum(tile_max, jnp.float32(-1e30))
+    e = jnp.exp(lw_m - m_safe)
     tile_sum = jnp.sum(e)
     tile_sum2 = jnp.sum(e * e)
     best_idx = jnp.max(jnp.where(lw_m == tile_max, idx, neg_inf))
@@ -573,43 +601,39 @@ def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
     by = jnp.max(jnp.where(sel, y, neg_inf))
     byaw = jnp.max(jnp.where(sel, yaw, neg_inf))
 
-    @pl.when(w == 0)
-    def _init():
-        acc_ref[0] = tile_max
-        acc_ref[1] = tile_sum
-        acc_ref[2] = 2.0 * tile_max
-        acc_ref[3] = tile_sum2
-        acc_ref[4] = tile_max
-        acc_ref[5] = bx
-        acc_ref[6] = by
-        acc_ref[7] = byaw
+    base = (f * c_cells + g) * 8
+    part_ref[0, base + 0] = tile_max
+    part_ref[0, base + 1] = tile_sum
+    part_ref[0, base + 2] = tile_sum2
+    part_ref[0, base + 3] = bx
+    part_ref[0, base + 4] = by
+    part_ref[0, base + 5] = byaw
+    part_ref[0, base + 6] = 0.0
+    part_ref[0, base + 7] = 0.0
 
-    @pl.when(w > 0)
-    def _accumulate():
-        m_old = acc_ref[0]
-        m_new = jnp.maximum(m_old, tile_max)
-        acc_ref[1] = (acc_ref[1] * jnp.exp(m_old - m_new)
-                      + tile_sum * jnp.exp(tile_max - m_new))
-        acc_ref[0] = m_new
-        m2_old = acc_ref[2]
-        m2_new = jnp.maximum(m2_old, 2.0 * tile_max)
-        acc_ref[3] = (acc_ref[3] * jnp.exp(m2_old - m2_new)
-                      + tile_sum2 * jnp.exp(2.0 * tile_max - m2_new))
-        acc_ref[2] = m2_new
-        better = tile_max > acc_ref[4]
-        acc_ref[4] = jnp.where(better, tile_max, acc_ref[4])
-        acc_ref[5] = jnp.where(better, bx, acc_ref[5])
-        acc_ref[6] = jnp.where(better, by, acc_ref[6])
-        acc_ref[7] = jnp.where(better, byaw, acc_ref[7])
 
-    @pl.when(w == w_tiles - 1)
-    def _finish():
-        stats_ref[0, 8 * f + 0] = acc_ref[0] + jnp.log(acc_ref[1])
-        stats_ref[0, 8 * f + 1] = acc_ref[2] + jnp.log(acc_ref[3])
-        stats_ref[0, 8 * f + 2] = acc_ref[5]
-        stats_ref[0, 8 * f + 3] = acc_ref[6]
-        stats_ref[0, 8 * f + 4] = acc_ref[7]
-        stats_ref[0, 8 * f + 5] = acc_ref[4]
+def _combine_wide_stats(parts, b: int, w_tiles: int):
+    """XLA combine of the pass-C per-tile partials, batched over
+    filters.
+
+    Args:
+        parts: ``(1, 8 * B * W)`` f32, 8-slot stride per (filter, tile)
+            cell (see :func:`_wide_stats_kernel`).
+
+    Returns:
+        ``(B, 6)`` rows ``[lse, lse2, x_map, y_map, yaw_map, best_lw]``
+        - the contract the old in-kernel accumulator chain produced.
+    """
+    p = parts.reshape(b, w_tiles, 8)
+    m_g, s_g, s2_g = p[..., 0], p[..., 1], p[..., 2]
+    m = jnp.max(m_g, axis=1)  # (B,)
+    e = jnp.exp(m_g - jnp.maximum(m, jnp.float32(-1e30))[:, None])
+    lse = m + jnp.log(jnp.sum(e * s_g, axis=1))
+    lse2 = 2.0 * m + jnp.log(jnp.sum(e * e * s2_g, axis=1))
+    i = jnp.argmax(m_g, axis=1)  # first max, like the old chain
+    pick = jnp.take_along_axis(p, i[:, None, None], axis=1)[:, 0]
+    return jnp.stack([lse, lse2, pick[:, 3], pick[:, 4], pick[:, 5], m],
+                     axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
@@ -675,7 +699,10 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                                              slot_boundaries)
 
     w_tiles, np_ = _wide_dims(cfg, tile_n)
-    b = state.particles.shape[1] // np_
+    r = state.particles.shape[0] // 3  # packed row factor (1 = flat)
+    np8 = np_ // r
+    t8 = tile_n // r
+    b = state.particles.shape[1] // np8
     n = cfg.num_particles
     if w_b + 1 > _SLOT_MOD:
         raise ValueError(f"w_b={w_b} needs > {_SLOT_MOD} slot keys; a "
@@ -715,7 +742,14 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     def fire_path(_):
         from tpuslam.filters.pf import quantize_weights_law
 
-        lw2 = state.log_w.reshape(b, np_)
+        # The resample passes work on the FLAT per-filter lane order;
+        # the packed carry relayouts through one XLA transpose here,
+        # inside the gated firing branch only.
+        p_flat = (flat_batch_rows(state.particles, b, r) if r > 1
+                  else state.particles)
+        lw_flat = (flat_batch_rows(state.log_w, b, r) if r > 1
+                   else state.log_w)
+        lw2 = lw_flat.reshape(b, np_)
 
         def xla_path(_):
             # All-filter decode: the overflow fallback (cnt/w_b guard
@@ -727,7 +761,7 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                 idx = decode_indices(t_row, n)
                 return idx
             idxs = jax.vmap(one)(w_rows, offs)  # (B, n)
-            p3 = state.particles.reshape(3, b, np_)
+            p3 = p_flat.reshape(3, b, np_)
             out = jnp.zeros((3, b, np_), jnp.float32)
             taken = jnp.take_along_axis(
                 p3, idxs[None, :, :], axis=2)  # (3, B, n)
@@ -798,7 +832,7 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                     ],
                     interpret=interpret,
                 )(fids, base_slot.astype(jnp.float32), inv_slot,
-                  offs_slot, valid_slot, state.particles, wq_rows)
+                  offs_slot, valid_slot, p_flat, wq_rows)
                 cnt = cnt[0]
 
                 # --- skip table over slot space: the shared
@@ -852,10 +886,13 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
         else:
             resampled = fire_tier(cap)(0)
         fire_lane = jnp.repeat(fire, np_)[None, :]
-        particles_in = jnp.where(fire_lane, resampled, state.particles)
+        particles_in = jnp.where(fire_lane, resampled, p_flat)
         lane_valid = (jnp.arange(np_) < n)
         uni = jnp.where(lane_valid, 0.0, -jnp.inf)[None, :]
-        lw_in = jnp.where(fire_lane, jnp.tile(uni, (1, b)), state.log_w)
+        lw_in = jnp.where(fire_lane, jnp.tile(uni, (1, b)), lw_flat)
+        if r > 1:
+            return (pack_batch_rows(particles_in, b, r),
+                    pack_batch_rows(lw_in, b, r))
         return particles_in, lw_in
 
     def no_fire_path(_):
@@ -866,38 +903,47 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
     flag = jnp.where(bad & ~fire, 1.0, 0.0)
 
     # --- pass C: predict + weight + stats ------------------------------
+    # Chunked grid: each cell covers G consecutive resample tiles (up
+    # to ~8k particles) - the ~0.5 us per-cell fixed cost dominated the
+    # old one-tile-per-cell grid (10240 cells ~ 5 ms/step at 1024x10k).
+    g_tiles = 1
+    for d in range(w_tiles, 0, -1):
+        if w_tiles % d == 0 and d * tile_n <= 8192:
+            g_tiles = d
+            break
+    c_cells = w_tiles // g_tiles
+    c8 = g_tiles * t8
     p_out, lw_out, st = pl.pallas_call(
         functools.partial(_wide_stats_kernel, cfg=cfg, noise_on=noise_on,
-                          w_tiles=w_tiles, tile_n=tile_n),
-        grid=(b, w_tiles),
+                          c_cells=c_cells, np8=np8, sub_rows=r),
+        grid=(b, c_cells),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 128), lambda f, w: (0, f),
+            pl.BlockSpec((1, 128), lambda f, g: (0, f),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, tile_n), lambda f, w: (0, f * w_tiles + w),
+            pl.BlockSpec((3 * r, c8), lambda f, g: (0, f * c_cells + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda f, w: (0, f * w_tiles + w),
+            pl.BlockSpec((r, c8), lambda f, g: (0, f * c_cells + g),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((3, b * np_), jnp.float32),
-            jax.ShapeDtypeStruct((1, b * np_), jnp.float32),
-            jax.ShapeDtypeStruct((1, 8 * b), jnp.float32),
+            jax.ShapeDtypeStruct((3 * r, b * np8), jnp.float32),
+            jax.ShapeDtypeStruct((r, b * np8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8 * b * c_cells), jnp.float32),
         ),
         out_specs=(
-            pl.BlockSpec((3, tile_n), lambda f, w: (0, f * w_tiles + w),
+            pl.BlockSpec((3 * r, c8), lambda f, g: (0, f * c_cells + g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda f, w: (0, f * w_tiles + w),
+            pl.BlockSpec((r, c8), lambda f, g: (0, f * c_cells + g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.SMEM((8,), jnp.float32)],
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), flag, z_rows, particles_in, lw_in)
 
-    st = st.reshape(b, 8)
+    st = _combine_wide_stats(st, b, c_cells)
     lse, lse2 = st[:, 0], st[:, 1]
     x_est = st[:, 2:5]
     out = PfBatchOut(x_true=x_true, x_est=x_est, ess=ess, lse=lse,
@@ -911,9 +957,17 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           tile_n: int = 1024, noise_on: bool = True,
                           interpret: bool = False,
                           fire_cap: int | None = None, w_b: int = 12,
-                          fire_cap_small: int | None = None):
-    """``n_steps`` wide batched steps under ``lax.scan``."""
-    state0 = pf_batch_wide_init(cfg, batch, tile_n)
+                          fire_cap_small: int | None = None,
+                          sub_rows: int | None = None):
+    """``n_steps`` wide batched steps under ``lax.scan``.
+
+    ``sub_rows=None`` auto-packs pass C into 8 vreg-sublane planes per
+    filter whenever the tile splits evenly (tile_n >= 1024); the
+    resample passes keep the flat order via one XLA transpose inside
+    the gated firing branch."""
+    if sub_rows is None:
+        sub_rows = 8 if tile_n % (8 * 128) == 0 else 1
+    state0 = pf_batch_wide_init(cfg, batch, tile_n, sub_rows=sub_rows)
     keys = jax.random.split(key, n_steps)
     # Per-step seed stride >= the per-step grid-cell count, or the
     # per-(filter, tile) on-core PRNG streams of consecutive steps

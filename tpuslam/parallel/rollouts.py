@@ -129,14 +129,22 @@ def sharded_ekf_fused_sweep(cfg: EkfConfig, mesh, seed, batch: int,
     return fn(jnp.asarray([seed], jnp.int32))
 
 
-def sharded_pf_fused_init(cfg: PfConfig, mesh, tile_n: int = 2048):
+def sharded_pf_fused_init(cfg: PfConfig, mesh, tile_n: int = 2048,
+                          sub_rows: int | None = None):
     """Particle-sharded fused-PF state: each device block is
     ``[n_local valid lanes | padding]`` in the kernel's row layout.
 
     Returns a :class:`tpuslam.ops.pf_pallas.PfFusedState` whose
-    ``particles (3, n_dev * n_local_pad)`` / ``log_w`` are meant to be
-    sharded over the ``particle`` mesh axis by
+    ``particles (3R, n_dev * n_local_pad / R)`` / ``log_w`` are meant
+    to be sharded over the ``particle`` mesh axis by
     :func:`sharded_pf_fused_step`; scalars are replicated.
+
+    ``sub_rows=None`` auto-packs each device's shard into R=8
+    vreg-sublane planes once the local shard fills a packed tile (the
+    same occupancy law as the single-device
+    :func:`tpuslam.ops.pf_pallas.pf_fused_rollout`; the resample
+    collectives work on the flat local order via per-device reshapes
+    inside the gated firing branch).
     """
     from tpuslam.ops.pf_pallas import PfFusedState
 
@@ -147,21 +155,22 @@ def sharded_pf_fused_init(cfg: PfConfig, mesh, tile_n: int = 2048):
                          f"{n_dev} devices")
     n_local = n_total // n_dev
     tile = min(tile_n, n_local)
-    n_local_pad = -(-n_local // tile) * tile
+    if sub_rows is None:
+        sub_rows = 8 if n_local >= 8 * tile else 1
+    r = sub_rows
+    chunk = tile * r
+    n_local_pad = -(-n_local // chunk) * chunk
+    n8 = n_local_pad // r
 
     x0 = jnp.asarray(cfg.x0, jnp.float32)
-    p_block = jnp.tile(x0[:, None], (1, n_local))
-    p_block = jnp.concatenate(
-        [p_block, jnp.zeros((3, n_local_pad - n_local), jnp.float32)],
-        axis=1)
-    lw_block = jnp.concatenate(
-        [jnp.full((1, n_local), -jnp.log(float(n_total)), jnp.float32),
-         jnp.full((1, n_local_pad - n_local), -jnp.inf, jnp.float32)],
-        axis=1)
+    valid = (jnp.arange(n_local_pad).reshape(r, n8) < n_local)
+    p_block = jnp.where(valid[None], x0[:, None, None],
+                        0.0).reshape(3 * r, n8)
+    lw_block = jnp.where(valid, -jnp.log(float(n_total)), -jnp.inf)
     return PfFusedState(
         x_true=x0,
-        particles=jnp.tile(p_block, (1, n_dev)),
-        log_w=jnp.tile(lw_block, (1, n_dev)),
+        particles=jnp.tile(p_block, (1, n_dev)).astype(jnp.float32),
+        log_w=jnp.tile(lw_block, (1, n_dev)).astype(jnp.float32),
         lse=jnp.float32(0.0),  # logsumexp of normalized log weights
         lse2=jnp.float32(-jnp.log(float(n_total))),  # ESS = n_total
         x_est=x0)
@@ -214,7 +223,8 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
     """
     from tpuslam.filters.pf import resample_indices
     from tpuslam.ops.pf_pallas import PfFusedState as _FS
-    from tpuslam.ops.pf_pallas import _pf_stats_call
+    from tpuslam.ops.pf_pallas import (_flat_rows, _pack_rows,
+                                       _pf_stats_call)
 
     n_total = cfg.num_particles
     n_dev = mesh.shape[PARTICLE_AXIS]
@@ -222,7 +232,9 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
         raise ValueError(f"{n_total} particles not divisible by "
                          f"{n_dev} devices")
     n_local = n_total // n_dev
-    tile = min(tile_n, n_local)
+    r = fs.particles.shape[0] // 3  # packed row factor (1 = flat)
+    n8 = fs.particles.shape[1] // n_dev  # local lanes per packed row
+    tile = min(tile_n, n8)
 
     def local(x_true, p_rows, lw_rows, lse, lse2, key, seed):
         my = jax.lax.axis_index(PARTICLE_AXIS)
@@ -259,8 +271,8 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             total = jax.lax.psum(jnp.sum(w_loc), PARTICLE_AXIS)
             return quantize_weights_law(w_loc, total)
 
-        def rs_gather(args):
-            p, lw = args
+        def rs_gather_flat(args):
+            p, lw = args  # FLAT (3, n_local_pad) / (1, n_local_pad)
             # Gather only the VALID lanes (padding is per-device).
             all_p = jax.lax.all_gather(p[:, :n_local], PARTICLE_AXIS,
                                        axis=1, tiled=True)
@@ -285,7 +297,16 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             lw2 = jnp.full_like(lw, -jnp.inf).at[:, :n_local].set(0.0)
             return p2, lw2
 
-        def rs_merge(p, lw):
+        def rs_gather(args):
+            # Packed wrapper: the resample works on the flat local lane
+            # order; the per-device relayout is a pure reshape, inside
+            # the (gated) firing branch only.
+            p, lw = args
+            p2, lw2 = rs_gather_flat((_flat_rows(p, r),
+                                      _flat_rows(lw, r)))
+            return _pack_rows(p2, r), _pack_rows(lw2, r)
+
+        def rs_merge(p_in, lw_in):
             # Survivor exchange (see function docstring) with the
             # DISTRIBUTED boundary build: no weight-row gather at all -
             # one scalar psum + an all_gather of per-tile integer sums
@@ -293,6 +314,10 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             # the fused pass-1 kernel rebuilds the exact global cumsum
             # from the gathered tile prefixes.
             from tpuslam.ops import resample_pallas as rp
+
+            # Flat local views (pure reshape; firing branch only).
+            p = _flat_rows(p_in, r)
+            lw = _flat_rows(lw_in, r)
 
             # Same cap derivation as the single-device kernel (shared
             # helper - parity depends on deriving identical caps).
@@ -333,15 +358,18 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
 
             def merge_path(args):
                 p, lw = args
+                p = _flat_rows(p, r)
+                lw = _flat_rows(lw, r)
                 out = rp.expand_compacted(tc15, sb, span, blk_ids, i0,
                                           nt_out * t_out, t_out, wb2,
                                           w_b, interpret)
                 p2 = jnp.zeros_like(p).at[:, :nt_out * t_out].set(
                     out.astype(p.dtype))
                 lw2 = jnp.full_like(lw, -jnp.inf).at[:, :n_local].set(0.0)
-                return p2, lw2
+                return _pack_rows(p2, r), _pack_rows(lw2, r)
 
-            return jax.lax.cond(bad_any, rs_gather, merge_path, (p, lw))
+            return jax.lax.cond(bad_any, rs_gather, merge_path,
+                                (p_in, lw_in))
 
         offs = jax.random.uniform(k_rs, dtype=jnp.float32)
         rs = (rs_merge if cfg.resample_method == "merge"
@@ -369,15 +397,19 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             # sums + one psum.  Same NaN->uniform law as
             # filters/pf.py::weights_from_log (padding lanes carry
             # lw = -inf, so they weigh 0 on the finite branch and are
-            # masked out of the uniform reset).
-            lw_n = lw_rows[0] - lse_g
-            valid = jnp.arange(lw_rows.shape[1]) < n_local
+            # masked out of the uniform reset).  The sums are
+            # order-free, so they read the packed rows directly; only
+            # the validity mask needs the flat index.
+            lw_f = _flat_rows(lw_rows, r)
+            p_f = _flat_rows(p_rows, r)
+            lw_n = lw_f[0] - lse_g
+            valid = jnp.arange(lw_f.shape[1]) < n_local
             w = jnp.where(jnp.isnan(lw_n) | ~jnp.isfinite(lse_g),
                           jnp.where(valid, 1.0 / n_total, 0.0),
                           jnp.exp(lw_n))
-            yaw = p_rows[2]
+            yaw = p_f[2]
             part = jnp.stack([
-                jnp.sum(w * p_rows[0]), jnp.sum(w * p_rows[1]),
+                jnp.sum(w * p_f[0]), jnp.sum(w * p_f[1]),
                 jnp.sum(w * jnp.cos(yaw)), jnp.sum(w * jnp.sin(yaw))])
             g = jax.lax.psum(part, PARTICLE_AXIS)
             x_est = jnp.stack([g[0], g[1], jnp.arctan2(g[3], g[2])])
@@ -386,8 +418,11 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             cand = jax.lax.all_gather(stats[2:6],
                                       PARTICLE_AXIS)  # (n_dev, 4)
             best = jnp.argmax(cand[:, 3])
-            x_est = jnp.where(jnp.isfinite(lse_g), cand[best, :3],
-                              p_rows[:, 0])
+            # Flat local particle 0 sits at column 0 of each variable's
+            # packed plane.
+            p0 = jnp.stack([p_rows[0, 0], p_rows[r, 0],
+                            p_rows[2 * r, 0]])
+            x_est = jnp.where(jnp.isfinite(lse_g), cand[best, :3], p0)
 
         return x_true, p_rows, lw_rows, lse_g, lse2_g, x_est, ess
 
