@@ -1,4 +1,9 @@
-"""Wide batched PF rates with the fixed slot-keyed kernel defaults."""
+#!/usr/bin/env python
+"""Decompose the wide-PF firing-step cost after the chunked pass C
+(~14 ms/firing step at 1024x10k): always-fire rollouts isolate the
+resample path; tier knobs separate pass A/B work from the dispatch
+glue.
+"""
 
 import os
 import sys
@@ -10,47 +15,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax
 import jax.numpy as jnp
 
-from tpuslam.filters import PfConfig
-from tpuslam.ops.pf_batch_pallas import pf_batch_wide_rollout
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def timed(fn, *args, reps=3):
-    float(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+def run(batch, n, steps, label, ess_frac=None, **kw):
+    from tpuslam.filters.pf import PfConfig
+    from tpuslam.ops import pf_batch_wide_rollout
 
+    ckw = {} if ess_frac is None else dict(ess_threshold_frac=ess_frac)
+    cfg = PfConfig(num_particles=n, weight_mode="log", **ckw)
 
-def rate(batch, parts, steps=100, **kw):
-    cfg = PfConfig(num_particles=parts, weight_mode="log")
-
-    @jax.jit
-    def fn(k):
+    def roll(k):
         final, outs = pf_batch_wide_rollout(cfg, k, batch=batch,
                                             n_steps=steps, **kw)
-        return (jnp.sum(final.particles) + jnp.sum(final.lse),
-                jnp.sum(outs.resampled.any(axis=1)),
-                jnp.sum(outs.resampled))
+        err = (outs.x_est[:, :, :2]
+               - outs.x_true[:, None, :2])
+        return (jnp.sqrt(jnp.mean(jnp.sum(err ** 2, -1)))
+                + 0.0 * jnp.sum(outs.resampled))
 
-    def scalar(k):
-        return fn(k)[0]
-
-    dt = timed(scalar, jax.random.key(0))
-    _, fire_steps, fires = fn(jax.random.key(0))
-    r = batch * parts * steps / dt
-    print(f"wide {batch}x{parts}: {r:.3e} p-s/s "
-          f"({dt*1e3/steps:.2f} ms/step; {int(fire_steps)}/{steps} "
-          f"steps fire, {int(fires)} filter-firings)", flush=True)
+    fn = jax.jit(roll)
+    k = jax.random.key(0)
+    err = float(fn(k))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(k))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    log(f"{label:44s}: {dt*1e3:8.1f} ms "
+        f"({batch*n*steps/dt:.3e} p-steps/s)  rmse={err:.3f}")
+    return dt
 
 
 def main():
-    print("device:", jax.devices()[0], flush=True)
-    rate(128, 10_000)
-    rate(1024, 10_000)
-    rate(64, 100_000, steps=50)
+    log(f"devices: {jax.devices()}")
+    b, n, steps = 1024, 10_000, 50
+    floor = run(b, n, steps, "no-fire floor", ess_frac=1e-9)
+    allfire = run(b, n, steps, "always-fire, two-tier default",
+                  ess_frac=2.0)
+    log(f"  -> firing-step cost {1e3*(allfire-floor)/steps:.2f} ms")
+    t = run(b, n, steps, "always-fire, untiered (cap_small=B)",
+            ess_frac=2.0, fire_cap_small=b)
+    log(f"  -> firing-step cost {1e3*(t-floor)/steps:.2f} ms")
+    t = run(b, n, steps, "always-fire, cap_small=B/8", ess_frac=2.0,
+            fire_cap_small=b // 8)
+    log(f"  -> firing-step cost {1e3*(t-floor)/steps:.2f} ms "
+        "(bursts above B/8 take the full tier)")
+    # Default gate, tier sweep (the production regime).
+    for cs in (b // 8, b // 4, b // 2):
+        run(b, n, steps, f"default gate, cap_small={cs}",
+            fire_cap_small=cs)
 
 
 if __name__ == "__main__":
