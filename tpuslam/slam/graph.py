@@ -86,6 +86,15 @@ class GraphConfig:
     #: (default) reproduces the reference; True uses the exact Jacobians
     #: J = +/-I of the actual residual (the large-scale path's default).
     exact_jacobians: bool = False
+    #: Levenberg-Marquardt compat option: solve (H + damping*diag(H)) dx
+    #: = -b instead of plain Gauss-Newton.  0.0 (default) reproduces the
+    #: reference exactly (graph_based_slam.py:497 solves undamped).  A
+    #: small value (~1e-2) tames the yaw wander of the reference's
+    #: inconsistent Jacobians (see ``exact_jacobians``) at trajectory
+    #: lengths where the 1e4 anchor no longer dominates, making the
+    #: reference formulation usable beyond demo scale.  Guards (det/cond)
+    #: still evaluate the UNDAMPED H, as the reference does.
+    damping: float = 0.0
 
 
 class GraphObservations(typing.NamedTuple):
@@ -369,7 +378,12 @@ def gn_iteration(cfg: GraphConfig, poses, obs: GraphObservations, t_now,
     # Reference: no update at all unless >1 kept time (leng > 3, :469).
     ok = ok_guard & (n_kept > 1)
 
-    delta = -preconditioned_solve(h, b, cfg.refine_iters)
+    h_solve = h
+    if cfg.damping:
+        # Marquardt scaling: h + damping*diag(h) == multiply the diagonal
+        # by (1 + damping); leaves the identity padding rows harmless.
+        h_solve = h + cfg.damping * jnp.diag(jnp.diagonal(h))
+    delta = -preconditioned_solve(h_solve, b, cfg.refine_iters)
     delta = delta.reshape(t1, 3) * kept[:, None]
     delta = jnp.where(ok, delta, 0.0)
 
