@@ -6,6 +6,7 @@ CPU backend (jax 0.9.0, f32); tolerate small float drift via rounded
 sums rather than bit hashes.
 """
 
+import pytest
 import numpy as np
 import jax
 
@@ -81,6 +82,7 @@ class TestGolden:
         want = PF_FUSED_GOLDEN
         np.testing.assert_allclose(d, want, atol=2e-3)
 
+    @pytest.mark.slow
     def test_graph_slam_golden(self):
         from tpuslam.slam import (GraphConfig, SlamSceneConfig,
                                   slam_rollout)

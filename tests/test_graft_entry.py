@@ -1,6 +1,7 @@
 """Driver-contract tests: entry() compiles and runs; dryrun_multichip
 exercises the sharded paths on the CPU mesh."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -20,5 +21,6 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out.cov)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

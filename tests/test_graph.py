@@ -70,6 +70,7 @@ class TestPrimitives:
 
 
 class TestGnIterationParity:
+    @pytest.mark.slow
     def test_single_iteration_matches_oracle(self):
         cfg, scene, traj = _sim(6)
         t1 = 7
@@ -127,6 +128,7 @@ class TestGnIterationParity:
         np.testing.assert_allclose(np.log(tr_cond[:o_iters]),
                                    np.log(o_cond), rtol=0.05)
 
+    @pytest.mark.slow
     def test_rollout_trace_consistent(self):
         """Per-frame traces: row f has gn_iters[f] finite entries, the
         last of which equals the frame's reported delta_sum."""
@@ -159,6 +161,7 @@ class TestGnIterationParity:
 
 
 class TestDemoCourse:
+    @pytest.mark.slow
     def test_rollout_converges_and_improves(self):
         """The reference 9-landmark circular course (18 frames):
         every frame's GN must converge and the final estimated trajectory
@@ -184,6 +187,7 @@ class TestDemoCourse:
         # course within an absolute band.
         assert est_rmse < 2.0
 
+    @pytest.mark.slow
     def test_solve_once_larger_course(self):
         """Single full-history solve at T=30 stays convergent (the
         scaling shape used by the large-scale benchmarks)."""
@@ -200,6 +204,7 @@ class TestDemoCourse:
         traj, res = solve_once(scene, cfg16, jax.random.key(4), 8)
         assert res.poses.shape == (9, 3)
 
+    @pytest.mark.slow
     def test_levenberg_damping_tames_reference_jacobians(self):
         """The reference's inconsistent Jacobians (GraphConfig.
         exact_jacobians docstring) make plain GN wander in yaw once the
@@ -225,6 +230,7 @@ class TestDemoCourse:
         assert int(res1.gn_iters) <= int(res0.gn_iters) // 2
         assert rmse1 <= rmse0 + 0.1
 
+    @pytest.mark.slow
     def test_determinism(self):
         cfg = _demo_cfg(10)
         scene = SlamSceneConfig()
@@ -234,6 +240,7 @@ class TestDemoCourse:
                                       np.asarray(r2.poses))
 
 
+@pytest.mark.slow
 class TestOracleFuzz:
     """Full-solve oracle parity over varied scan configs / seeds / course
     lengths (the single-config parity tests above pin one point; this
@@ -287,6 +294,7 @@ class TestControls:
         np.testing.assert_array_equal(np.asarray(t_a.obs.dist),
                                       np.asarray(t_b.obs.dist))
 
+    @pytest.mark.slow
     def test_varied_course_converges(self):
         """A non-circular course (turn direction flips mid-run, speed
         varies) still converges frame-by-frame."""

@@ -18,6 +18,9 @@ from tpuslam.slam.graph import (assemble, build_edges, kept_times,
                                 upper_pairs)
 
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / multi-device suites: run in the full tier only
+
+
 def _cfg(t1, num_lm, **kw):
     return GraphConfig(
         max_times=t1, num_landmarks=num_lm,

@@ -13,6 +13,9 @@ from tpuslam.ops import ekf_fused_rollout
 CFG = EkfConfig()
 
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / multi-device suites: run in the full tier only
+
+
 class TestEkfFusedKernel:
     def test_noise_free_matches_scan_path_exactly(self):
         """With noise off, the fused kernel must reproduce the XLA scan

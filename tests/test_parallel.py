@@ -10,6 +10,9 @@ from tpuslam.filters import EkfConfig, PfConfig, ekf_rollout_batch, pf_init
 from tpuslam.parallel import (make_mesh, sharded_ekf_sweep, sharded_pf_step)
 
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / multi-device suites: run in the full tier only
+
+
 def test_mesh_has_8_devices():
     mesh = make_mesh()
     assert mesh.devices.size == 8
@@ -750,3 +753,48 @@ class TestMultiSlice:
                                            rel_odom=rel_odom))(po)
         np.testing.assert_allclose(np.asarray(p_td), np.asarray(p_cg),
                                    rtol=2e-4, atol=5e-3)
+
+
+class TestShardedPfBatchSweep:
+    """Filter-data-parallel batched PF kernels under the rollout mesh."""
+
+    def test_single_device_matches_direct_rollout(self):
+        """On a 1-device mesh the sweep must equal the direct local
+        rollout bit-for-bit (same key fold, same seed range)."""
+        from tpuslam.ops.pf_batch_pallas import pf_batch_rollout
+        from tpuslam.parallel import sharded_pf_batch_sweep
+
+        cfg = PfConfig(num_particles=128, weight_mode="log",
+                       resample_method="hist")
+        mesh = make_mesh(n_rollout=1)
+        n_steps, batch, seed = 3, 4, 11
+        x_est, ess, rmse = jax.jit(lambda: sharded_pf_batch_sweep(
+            cfg, mesh, seed, batch=batch, n_steps=n_steps,
+            noise_on=False, interpret=True))()
+        key = jax.random.fold_in(jax.random.key(seed), 0)
+        _, outs = pf_batch_rollout(cfg, key, batch, n_steps,
+                                   noise_on=False, interpret=True, seed0=1)
+        np.testing.assert_array_equal(np.asarray(x_est),
+                                      np.asarray(outs.x_est))
+        np.testing.assert_array_equal(np.asarray(ess), np.asarray(outs.ess))
+
+    def test_eight_devices_one_tile_and_wide(self):
+        from tpuslam.parallel import sharded_pf_batch_sweep
+
+        mesh = make_mesh(n_rollout=8)
+        cfg = PfConfig(num_particles=128, weight_mode="log",
+                       resample_method="hist")
+        x_est, ess, rmse = jax.jit(lambda: sharded_pf_batch_sweep(
+            cfg, mesh, 3, batch=16, n_steps=3, noise_on=False,
+            interpret=True))()
+        assert x_est.shape == (3, 16, 3) and ess.shape == (3, 16)
+        assert np.isfinite(np.asarray(x_est)).all()
+        assert np.isfinite(float(rmse))
+
+        wcfg = PfConfig(num_particles=256, weight_mode="log",
+                        resample_method="merge")
+        wx, wess, wrmse = jax.jit(lambda: sharded_pf_batch_sweep(
+            wcfg, mesh, 4, batch=8, n_steps=2, wide=True, tile_n=128,
+            noise_on=False, interpret=True))()
+        assert wx.shape == (2, 8, 3)
+        assert np.isfinite(np.asarray(wx)).all()

@@ -114,6 +114,7 @@ class TestPfStep:
         assert out.x_est.shape == (3,)
         assert np.isclose(float(out.weights.sum()), 1.0, atol=1e-4)
 
+    @pytest.mark.slow
     def test_estimate_is_argmax_particle(self):
         state = pf_init(CFG)
         state, out = pf_step(CFG, state, jax.random.key(1))
@@ -121,6 +122,7 @@ class TestPfStep:
         np.testing.assert_allclose(np.asarray(out.x_est),
                                    np.asarray(out.particles[idx]), atol=1e-6)
 
+    @pytest.mark.slow
     def test_mean_estimate_mode(self):
         cfg = PfConfig(estimate="mean")
         state = pf_init(cfg)
@@ -151,6 +153,7 @@ class TestPfStep:
         _, outs = pf_rollout(CFG, jax.random.key(3), 300)
         assert bool(np.asarray(outs.resampled).any())
 
+    @pytest.mark.slow
     def test_scaling_particle_counts(self):
         """100 -> 10k particles (BASELINE config 2 shape check)."""
         for npart in [100, 10000]:
@@ -162,6 +165,7 @@ class TestPfStep:
 
 
 class TestHistResample:
+    @pytest.mark.slow
     def test_hist_matches_search(self, rng):
         """Histogram selection == searchsorted selection away from exact
         float ties."""
@@ -180,6 +184,7 @@ class TestHistResample:
             np.testing.assert_array_equal(np.asarray(p_s[:, 0]),
                                           np.asarray(p_h[:, 0]))
 
+    @pytest.mark.slow
     def test_hist_distribution(self, rng):
         """Counts per particle are within +-1 of N*w (systematic
         resampling guarantee)."""
@@ -197,6 +202,7 @@ class TestHistResample:
 
 
 class TestBatchedRollouts:
+    @pytest.mark.slow
     def test_pf_rollout_batch_matches_single(self):
         """Per-filter results of the vmapped sweep equal individual
         rollouts (the vmap'd cond-as-select must not change selection)."""

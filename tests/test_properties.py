@@ -57,6 +57,7 @@ class TestEkfInvariants:
 
 
 class TestGraphInvariants:
+    @pytest.mark.slow
     def test_information_matrix_symmetric(self):
         cfg = GraphConfig(
             max_times=8, num_landmarks=9,

@@ -1,5 +1,6 @@
 """Tests for utils (checkpoint/profiling), sim drivers, and viz demos."""
 
+import pytest
 import os
 
 import numpy as np
@@ -18,6 +19,7 @@ from tpuslam.utils import restore_state, save_state, steps_per_second, \
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_roundtrip_ekf_state(self, tmp_path):
         cfg = EkfConfig()
         state = ekf_init(cfg, (4,))
@@ -88,6 +90,7 @@ class TestVizDemos:
         demo_pf.main(["--frames", "5", "--particles", "100", "--save", out])
         assert os.path.getsize(out) > 1000
 
+    @pytest.mark.slow
     def test_demo_graph_slam(self, tmp_path):
         from tpuslam.viz import demo_graph_slam
 
@@ -128,6 +131,7 @@ class TestProfilerTrace:
         files = list((tmp_path / "prof").rglob("*"))
         assert len(files) > 0
 
+    @pytest.mark.slow
     def test_demo_large_slam(self, tmp_path):
         from tpuslam.viz import demo_large_slam
 

@@ -6,7 +6,9 @@ from tpuslam.filters.ekf import (EkfConfig, EkfOut, EkfState, ekf_init,
 from tpuslam.filters.pf import (PfConfig, PfOut, PfState, pf_rollout_batch,
                                 bivariate_normal_pdf, effective_sample_size,
                                 pf_estimate, pf_init, pf_likelihood,
-                                pf_rollout, pf_step, systematic_resample)
+                                pf_rollout, pf_step, pf_step_with_noise,
+                                resample_indices_from_offs,
+                                systematic_resample)
 
 __all__ = [
     "EkfConfig", "EkfOut", "EkfState", "ekf_init", "ekf_predict",
@@ -14,5 +16,6 @@ __all__ = [
     "ekf_update",
     "PfConfig", "PfOut", "PfState", "bivariate_normal_pdf",
     "effective_sample_size", "pf_estimate", "pf_init", "pf_likelihood",
-    "pf_rollout", "pf_rollout_batch", "pf_step", "systematic_resample",
+    "pf_rollout", "pf_rollout_batch", "pf_step", "pf_step_with_noise",
+    "resample_indices_from_offs", "systematic_resample",
 ]

@@ -183,8 +183,17 @@ def boundary_law(cum, inv_tot, n, offs):
 def resample_indices(key, weights, method: str = "search"):
     """Systematic-resampling index selection (see
     :func:`systematic_resample`); returns the ``(N,)`` gather indices."""
-    n = weights.shape[-1]
     offs = jax.random.uniform(key, dtype=weights.dtype)  # in units of 1/n
+    return resample_indices_from_offs(offs, weights, method)
+
+
+def resample_indices_from_offs(offs, weights, method: str = "search"):
+    """Deterministic-input twin of :func:`resample_indices`: the comb
+    offset ``offs`` (uniform in [0, 1), in units of ``1/N`` - the
+    reference's ``np.random.rand()`` at particle_filter.py:214) is
+    supplied by the caller instead of drawn from a key.  Used for replay
+    against recorded reference noise streams."""
+    n = weights.shape[-1]
     if method == "merge":  # kernel method; identical selection to "hist"
         method = "hist"
     if method == "hist":
@@ -310,41 +319,49 @@ def pf_estimate(cfg: PfConfig, particles, weights):
         particles, idx[..., None, None], axis=-2)[..., 0, :]
 
 
-def pf_step(cfg: PfConfig, state: PfState, key):
-    """One fused sim+filter step (parity: main_pf, particle_filter.py:86-119).
+def pf_step_with_noise(cfg: PfConfig, state: PfState, resample_offs,
+                       pred_noise, obs_noise):
+    """Deterministic-input fused step: noise supplied by the caller.
 
-    Order matches the reference exactly: propagate truth; ESS-gated
-    resample (using the previous step's weights); predict all particles
-    with Q noise; observe; weight; normalize; MAP estimate.
+    The fidelity-testable core of :func:`pf_step` (the PF twin of
+    :func:`tpuslam.filters.ekf.ekf_step_with_noise`): given the same
+    draws as the reference's ``main_pf``, the trajectory matches to
+    float tolerance (see tests/test_reference_exec.py, which replays
+    recorded ``np.random`` streams from the live reference).
+
+    Args:
+        resample_offs: scalar comb offset in [0, 1) (units of ``1/NP``;
+            particle_filter.py:214's ``np.random.rand()``).  Consumed
+            only when the ESS gate fires.
+        pred_noise: ``(..., NP, 3)`` additive system noise ``v`` (already
+            scaled by Q's Cholesky; particle_filter.py:165).
+        obs_noise: ``(..., L, 2)`` additive robot-frame observation noise
+            ``w`` (already scaled by R's Cholesky; particle_filter.py:152).
     """
-    k_rs, k_pred, k_obs = jax.random.split(key, 3)
-
     # Ground truth (:100).
     x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
 
     # ESS-gated systematic resampling (:104, 200-224).
     ess = effective_sample_size(state.weights)
     ess_th = cfg.num_particles * cfg.ess_threshold_frac
+
+    def do_resample(p, w):
+        idx = resample_indices_from_offs(resample_offs, w,
+                                         cfg.resample_method)
+        return p[..., idx, :], jnp.full_like(w, 1.0 / cfg.num_particles)
+
     particles, weights = jax.lax.cond(
-        ess < ess_th,
-        lambda p, w: systematic_resample(k_rs, p, w,
-                                         method=cfg.resample_method),
-        lambda p, w: (p, w),
+        ess < ess_th, do_resample, lambda p, w: (p, w),
         state.particles, state.weights)
     resampled = ess < ess_th
 
     # Predict with additive system noise (:107, 156-168).
-    q_std = jnp.asarray(cfg.q_std)
-    noise = jax.random.normal(k_pred, particles.shape,
-                              dtype=particles.dtype) * q_std
     particles = circular_step(particles, cfg.vel, cfg.yaw_rate,
-                              cfg.dt) + noise
+                              cfg.dt) + pred_noise
 
     # Observe (:110, 144-154).
     lm = jnp.asarray(cfg.landmarks)
-    z = world_to_robot(x_true, lm)
-    r_std = jnp.asarray(cfg.r_std)
-    z = z + jax.random.normal(k_obs, z.shape, dtype=z.dtype) * r_std
+    z = world_to_robot(x_true, lm) + obs_noise
 
     # Weight update (:113, 170-198) + normalization (:226-237).
     like = pf_likelihood(cfg, particles, z)
@@ -364,6 +381,26 @@ def pf_step(cfg: PfConfig, state: PfState, key):
                 weights=weights, max_idx=max_idx, max_w=max_w, ess=ess,
                 resampled=resampled)
     return next_state, out
+
+
+def pf_step(cfg: PfConfig, state: PfState, key):
+    """One fused sim+filter step (parity: main_pf, particle_filter.py:86-119).
+
+    Order matches the reference exactly: propagate truth; ESS-gated
+    resample (using the previous step's weights); predict all particles
+    with Q noise; observe; weight; normalize; MAP estimate.  Samples the
+    three noise inputs and delegates to :func:`pf_step_with_noise`.
+    """
+    k_rs, k_pred, k_obs = jax.random.split(key, 3)
+    dtype = state.particles.dtype
+    offs = jax.random.uniform(k_rs, dtype=dtype)
+    pred_noise = jax.random.normal(
+        k_pred, state.particles.shape, dtype=dtype) * jnp.asarray(cfg.q_std)
+    n_lm = len(cfg.landmarks)
+    obs_shape = state.x_true.shape[:-1] + (n_lm, 2)
+    obs_noise = jax.random.normal(
+        k_obs, obs_shape, dtype=dtype) * jnp.asarray(cfg.r_std)
+    return pf_step_with_noise(cfg, state, offs, pred_noise, obs_noise)
 
 
 def pf_rollout(cfg: PfConfig, key, n_steps: int,

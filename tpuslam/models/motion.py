@@ -94,6 +94,27 @@ def _arc_step(pose, v, w, dt, guard: bool, eps: float):
     return dx, dy
 
 
+def motion_sample_with_noise(cfg: MotionConfig, pose, v, w, unit_noise):
+    """Deterministic-input twin of :func:`motion_sample`: the three
+    standard-normal draws are supplied by the caller.
+
+    ``unit_noise`` is ``(..., 3)`` unit draws for (v_hat, w_hat,
+    gamma_hat); they are scaled by :func:`noise_sigmas` exactly as
+    ``moveWithNoise`` scales its ``np.random.normal(0, sigma**2)`` draws
+    (motion_model.py:46-48).  Used to replay recorded reference noise
+    streams (tests/test_reference_exec.py)."""
+    pose = jnp.asarray(pose)
+    sv, sw, sg = noise_sigmas(cfg, v, w)
+    v_hat = v + unit_noise[..., 0] * sv
+    w_hat = w + unit_noise[..., 1] * sw
+    g_hat = unit_noise[..., 2] * sg
+    dx, dy = _arc_step(pose, v_hat, w_hat, cfg.dt, cfg.omega_guard,
+                       cfg.omega_eps)
+    yaw_new = wrap_angle(pose[..., 2] + (w_hat + g_hat) * cfg.dt)
+    return jnp.stack(
+        [pose[..., 0] + dx, pose[..., 1] + dy, yaw_new], axis=-1)
+
+
 def motion_sample(cfg: MotionConfig, key, pose, v, w):
     """One noisy motion step (parity: motion_model.py:31-62, moveWithNoise).
 
@@ -109,16 +130,8 @@ def motion_sample(cfg: MotionConfig, key, pose, v, w):
     """
     pose = jnp.asarray(pose)
     batch_shape = pose.shape[:-1]
-    sv, sw, sg = noise_sigmas(cfg, v, w)
     noise = jax.random.normal(key, batch_shape + (3,), dtype=pose.dtype)
-    v_hat = v + noise[..., 0] * sv
-    w_hat = w + noise[..., 1] * sw
-    g_hat = noise[..., 2] * sg
-    dx, dy = _arc_step(pose, v_hat, w_hat, cfg.dt, cfg.omega_guard,
-                       cfg.omega_eps)
-    yaw_new = wrap_angle(pose[..., 2] + (w_hat + g_hat) * cfg.dt)
-    return jnp.stack(
-        [pose[..., 0] + dx, pose[..., 1] + dy, yaw_new], axis=-1)
+    return motion_sample_with_noise(cfg, pose, v, w, noise)
 
 
 def motion_mean(cfg: MotionConfig, pose, v, w):

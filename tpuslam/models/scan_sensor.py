@@ -99,11 +99,22 @@ def scan(cfg: ScanConfig, key, pose, landmarks):
     """
     true = scan_true(cfg, pose, landmarks)
     n = jax.random.normal(key, true.dist.shape + (3,), dtype=true.dist.dtype)
+    return scan_apply_noise(cfg, true, n), true
+
+
+def scan_apply_noise(cfg: ScanConfig, true: Scan, unit_noise) -> Scan:
+    """Apply the reference's sighting noise law to a noise-free scan.
+
+    ``unit_noise`` is ``(..., L, 3)`` standard-normal draws for
+    (dist, bearing, orient); the law matches ``ScanSensor.scan``
+    (graph_based_slam.py:164-167): distance std is range-proportional,
+    bearing/orientation are Gaussian and wrapped.  Split out so recorded
+    reference draws can be replayed (tests/test_reference_exec.py)."""
+    n = unit_noise
     dist_n = true.dist + n[..., 0] * true.dist * cfg.dist_gain
     bear_n = wrap_angle(true.bearing + n[..., 1] * cfg.dir_sigma)
     orient_n = wrap_angle(true.orient + n[..., 2] * cfg.orient_sigma)
-    noisy = Scan(dist_n, bear_n, orient_n, true.valid)
-    return noisy, true
+    return Scan(dist_n, bear_n, orient_n, true.valid)
 
 
 def measurement_cov(cfg: ScanConfig, dist):

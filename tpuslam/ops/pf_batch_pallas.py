@@ -389,7 +389,7 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
 
 def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                      noise_on: bool = True, interpret: bool = False,
-                     sub_rows: int | None = None):
+                     sub_rows: int | None = None, seed0=1):
     """``n_steps`` batched fused steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs each filter's particle axis into 8
@@ -414,7 +414,7 @@ def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         return (st, seed + 7919), out
 
     (final, _), outs = jax.lax.scan(
-        body, (state0, jnp.asarray(1, jnp.int32)), keys)
+        body, (state0, jnp.asarray(seed0, jnp.int32)), keys)
     return final, outs
 
 
@@ -958,7 +958,7 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           interpret: bool = False,
                           fire_cap: int | None = None, w_b: int = 12,
                           fire_cap_small: int | None = None,
-                          sub_rows: int | None = None):
+                          sub_rows: int | None = None, seed0=1):
     """``n_steps`` wide batched steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs pass C into 8 vreg-sublane planes per
@@ -985,5 +985,5 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(
-        body, (state0, jnp.asarray(1, jnp.int32)), keys)
+        body, (state0, jnp.asarray(seed0, jnp.int32)), keys)
     return final, outs

@@ -12,6 +12,7 @@ from tpuslam.parallel.mesh import (PARTICLE_AXIS, ROLLOUT_AXIS,
                                    rollout_sharding)
 from tpuslam.parallel.rollouts import (sharded_ekf_fused_sweep,
                                        sharded_ekf_sweep,
+                                       sharded_pf_batch_sweep,
                                        sharded_pf_fused_init,
                                        sharded_pf_fused_step,
                                        sharded_pf_step)
@@ -23,6 +24,7 @@ __all__ = ["PARTICLE_AXIS", "ROLLOUT_AXIS", "SLICE_AXIS",
            "make_mesh", "replicated",
            "rollout_sharding", "sharded_cg_local", "sharded_cg_solve",
            "sharded_ekf_sweep", "sharded_ekf_fused_sweep", "sharded_pf_step",
+           "sharded_pf_batch_sweep",
            "sharded_pf_fused_init", "sharded_pf_fused_step", "pad_edges",
            "sharded_gn_iteration", "sharded_graph_solve",
            "sharded_banded_solve_tridiag_flat", "sharded_tridiag_local"]

@@ -129,6 +129,65 @@ def sharded_ekf_fused_sweep(cfg: EkfConfig, mesh, seed, batch: int,
     return fn(jnp.asarray([seed], jnp.int32))
 
 
+def sharded_pf_batch_sweep(cfg: PfConfig, mesh, seed, batch: int,
+                           n_steps: int, wide: bool = False,
+                           tile_n: int = 1024, noise_on: bool = True,
+                           interpret: bool = False, **kw):
+    """Filter-parallel batched-PF sweep sharded over ``rollout``.
+
+    Many INDEPENDENT small filters (the reference's own 1000-particle
+    scale, particle_filter.py:31) are data-parallel over the mesh: each
+    device runs the one-filter-per-tile Pallas rollout
+    (:func:`tpuslam.ops.pf_batch_pallas.pf_batch_rollout`; ``wide=True``
+    selects the multi-tile wide kernel) on its shard of the filter
+    batch, and the pooled position-RMSE reduces with one psum over ICI.
+    Per-device PRNG: the host key folds in the device index and the
+    on-core seed ranges are disjoint by construction.
+
+    Args:
+        seed: host PRNG seed (int).
+        batch: total filter count, divisible by the rollout axis size.
+
+    Returns:
+        ``(x_est, ess, rmse)``: sharded ``(n_steps, batch, 3)`` per-step
+        MAP estimates, sharded ``(n_steps, batch)`` pre-resample ESS,
+        and the replicated pooled position RMSE.
+    """
+    from tpuslam.ops.pf_batch_pallas import (pf_batch_rollout,
+                                             pf_batch_wide_rollout)
+
+    n_dev = mesh.shape[ROLLOUT_AXIS]
+    if batch % n_dev:
+        raise ValueError(f"batch {batch} not divisible by {n_dev}")
+    b_local = batch // n_dev
+    # Each step advances the on-core seed by at most max(7919, cells);
+    # spacing devices by (n_steps+1) of those keeps the streams disjoint.
+    stride = (n_steps + 1) * max(7919, b_local * 64)
+
+    def local(seed_arr):
+        my = jax.lax.axis_index(ROLLOUT_AXIS)
+        key = jax.random.fold_in(jax.random.key(seed_arr[0]), my)
+        seed0 = 1 + my * stride
+        if wide:
+            _, outs = pf_batch_wide_rollout(
+                cfg, key, b_local, n_steps, tile_n=tile_n,
+                noise_on=noise_on, interpret=interpret, seed0=seed0, **kw)
+        else:
+            _, outs = pf_batch_rollout(
+                cfg, key, b_local, n_steps, noise_on=noise_on,
+                interpret=interpret, seed0=seed0, **kw)
+        err = outs.x_est[..., :2] - outs.x_true[:, None, :2]
+        se = jax.lax.psum(jnp.sum(err * err), ROLLOUT_AXIS)
+        rmse = jnp.sqrt(se / (batch * n_steps))
+        return outs.x_est, outs.ess, rmse
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(),
+        out_specs=(P(None, ROLLOUT_AXIS), P(None, ROLLOUT_AXIS), P()),
+        check_vma=False)
+    return fn(jnp.asarray([seed], jnp.int32))
+
+
 def sharded_pf_fused_init(cfg: PfConfig, mesh, tile_n: int = 2048,
                           sub_rows: int | None = None):
     """Particle-sharded fused-PF state: each device block is

@@ -93,8 +93,17 @@ class GraphConfig:
     #: inconsistent Jacobians (see ``exact_jacobians``) at trajectory
     #: lengths where the 1e4 anchor no longer dominates, making the
     #: reference formulation usable beyond demo scale.  Guards (det/cond)
-    #: still evaluate the UNDAMPED H, as the reference does.
+    #: still evaluate the UNDAMPED H, as the reference does.  Must be
+    #: >= 0: a negative value would SUBTRACT from the diagonal and
+    #: silently worsen the conditioning of the solve.
     damping: float = 0.0
+
+    def __post_init__(self):
+        if self.damping < 0.0:
+            raise ValueError(
+                f"GraphConfig.damping must be >= 0, got {self.damping}; "
+                "negative damping subtracts from diag(H) and degrades "
+                "conditioning")
 
 
 class GraphObservations(typing.NamedTuple):
@@ -341,20 +350,41 @@ def preconditioned_solve(h, b, refine_iters: int = 1):
     return y * s
 
 
-def _guards(cfg: GraphConfig, h):
-    """det/cond solvability guards (graph_based_slam.py:494-496)."""
+def _guards(cfg: GraphConfig, h, kept):
+    """det/cond solvability guards (graph_based_slam.py:494-496).
+
+    ``h`` carries identity diagonal blocks on non-kept times (see
+    :func:`assemble`): those leave det equal to the reference's compacted
+    det, but inject singular values at exactly 1.0, which would REPLACE
+    the true minimum when the compacted matrix's min-SV exceeds 1 and
+    overstate cond.  For the cond evaluation the padding diagonal is
+    therefore re-scaled to gamma = sqrt(min_kept_diag * max_kept_diag):
+    for an SPD matrix min_sv <= min_diag <= gamma <= max_diag <= max_sv,
+    so the padding SVs land strictly inside the kept range and the padded
+    cond equals the compacted cond (verified frame-for-frame against the
+    live reference in tests/test_reference_exec.py).
+    """
     if cfg.guard == "off":
         t = jnp.asarray(1.0, h.dtype)
         return jnp.asarray(True), t, t
     sign, logdet = jnp.linalg.slogdet(h)
     det = sign * jnp.exp(jnp.clip(logdet, -80.0, 80.0))
     det_ok = (sign > 0) & (logdet > math.log(cfg.det_min))
+    d = jnp.diagonal(h)
+    kept3 = jnp.repeat(kept, 3)
+    any_kept = jnp.any(kept3)
+    d_min = jnp.min(jnp.where(kept3, d, jnp.inf))
+    d_max = jnp.max(jnp.where(kept3, d, -jnp.inf))
+    gamma = jnp.where(any_kept,
+                      jnp.sqrt(jnp.maximum(d_min, 1e-30) *
+                               jnp.maximum(d_max, 1e-30)), 1.0)
     if cfg.guard == "full":
-        sv = jnp.linalg.svd(h, compute_uv=False)
+        h_cond = h + jnp.diag(jnp.where(kept3, 0.0, gamma - 1.0))
+        sv = jnp.linalg.svd(h_cond, compute_uv=False)
         cond = sv[0] / sv[-1]
-    else:  # "cheap": diagonal ratio lower bound
-        d = jnp.diagonal(h)
-        cond = jnp.max(d) / jnp.maximum(jnp.min(d), 1e-30)
+    else:  # "cheap": diagonal ratio lower bound over the kept times
+        cond = jnp.where(any_kept,
+                         d_max / jnp.maximum(d_min, 1e-30), 1.0)
     return det_ok & (cond < cfg.cond_max), det, cond
 
 
@@ -374,7 +404,7 @@ def gn_iteration(cfg: GraphConfig, poses, obs: GraphObservations, t_now,
     n_kept = jnp.sum(kept)
     edges = build_edges(cfg, poses, obs, t_now, pair_i, pair_j)
     h, b = assemble(cfg, edges, kept, pair_i, pair_j, t1)
-    ok_guard, det, cond = _guards(cfg, h)
+    ok_guard, det, cond = _guards(cfg, h, kept)
     # Reference: no update at all unless >1 kept time (leng > 3, :469).
     ok = ok_guard & (n_kept > 1)
 

@@ -695,6 +695,10 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             ``~36*S`` bytes/pose of stacked carry memory.  Ignored by
             the other solvers.
     """
+    if damping < 0.0:
+        raise ValueError(f"damping must be >= 0, got {damping}; negative "
+                         "damping subtracts from diag(H) and degrades "
+                         "conditioning")
     t1 = poses_init.shape[0]
     tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
 
