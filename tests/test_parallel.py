@@ -798,3 +798,55 @@ class TestShardedPfBatchSweep:
             noise_on=False, interpret=True))()
         assert wx.shape == (2, 8, 3)
         assert np.isfinite(np.asarray(wx)).all()
+
+
+class TestShardedCheckpoint:
+    """Sharded-state checkpoint round-trip (SURVEY.md section 5,
+    checkpoint row): Orbax must save and restore NamedSharding-placed
+    pytrees on the 8-device mesh with values AND shardings intact."""
+
+    def _shard_shapes(self, arr):
+        return {s.data.shape for s in arr.addressable_shards}
+
+    def test_pf_particle_sharded_roundtrip(self, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpuslam.parallel.mesh import PARTICLE_AXIS
+        from tpuslam.utils.checkpoint import restore_state, save_state
+        from tpuslam.filters.pf import PfState
+
+        cfg = PfConfig(num_particles=800)
+        mesh = make_mesh(n_rollout=1, n_particle=8)
+        k1, k2 = jax.random.split(jax.random.key(3))
+        part_sh = NamedSharding(mesh, P(PARTICLE_AXIS))
+        rep = NamedSharding(mesh, P())
+        state = PfState(
+            x_true=jax.device_put(jnp.asarray(cfg.x0), rep),
+            particles=jax.device_put(
+                jax.random.normal(k1, (cfg.num_particles, 3)), part_sh),
+            weights=jax.device_put(
+                jax.nn.softmax(jax.random.normal(k2, (cfg.num_particles,))),
+                part_sh))
+        save_state(str(tmp_path / "pf"), state)
+        restored = restore_state(str(tmp_path / "pf"), state)
+        assert self._shard_shapes(restored.particles) == {(100, 3)}
+        assert self._shard_shapes(restored.weights) == {(100,)}
+        for got, want in zip(restored, state):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_ekf_rollout_sharded_roundtrip(self, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpuslam.filters import ekf_init
+        from tpuslam.parallel.mesh import ROLLOUT_AXIS
+        from tpuslam.utils.checkpoint import restore_state, save_state
+
+        cfg = EkfConfig()
+        mesh = make_mesh(n_rollout=8)
+        sh = NamedSharding(mesh, P(ROLLOUT_AXIS))
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, sh), ekf_init(cfg, (16,)))
+        save_state(str(tmp_path / "ekf"), state)
+        restored = restore_state(str(tmp_path / "ekf"), state)
+        assert self._shard_shapes(restored.x_hat) == {(2, 3)}
+        assert self._shard_shapes(restored.cov) == {(2, 3, 3)}
+        for got, want in zip(restored, state):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
