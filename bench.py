@@ -19,6 +19,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from tpuslam.utils import roofline
+
 
 def _time_scalar(fn, *args, reps=5):
     """Median wall time of float(fn(*args)) - transfer-fenced."""
@@ -212,16 +214,26 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
     # into the program as constants and shipped with the remote-compile
     # POST (breaks the tunnel at 100k+ scale, wasteful here).
     def fn(p, obs, el, rel_odom):
+        # tridiag + auto factor-reuse (exact Jacobians + frozen Omega ->
+        # H constant: factor once, substitute per GN iteration) +
+        # stall stop at the f32 refinement floor.
         res = graph_solve_banded(cfg, p, obs, el, band=window,
                                  rel_odom=rel_odom,
                                  odom_info=(100.0, 100.0, 100.0),
-                                 solver="cr",
+                                 solver="tridiag", stall_ratio=0.5,
                                  delta_tol=1e-6 * n_poses)
-        return jnp.sum(res.poses) + res.delta_sum
+        return jnp.sum(res.poses) + res.delta_sum, res.gn_iters
 
     jfn = jax.jit(fn)
-    dt = _time_scalar(jfn, po, obs, el, rel_odom, reps=3)
-    return dt, el.t_b.shape[0]
+    iters_box = [0]
+
+    def scalar_call(*a):  # one compiled program; iters rides along
+        s, it = jfn(*a)
+        iters_box[0] = int(it)
+        return s
+
+    dt = _time_scalar(scalar_call, po, obs, el, rel_odom, reps=3)
+    return dt, el.t_b.shape[0], iters_box[0], n_poses
 
 
 def main():
@@ -237,6 +249,8 @@ def main():
         ekf_rate = bench_ekf_scan()
         path = "xla scan"
     print(f"# EKF ({path}): {ekf_rate:.3e} steps/s/chip", file=sys.stderr)
+    if path.startswith("pallas"):
+        print(roofline.EKF_FUSED.analyze(ekf_rate), file=sys.stderr)
     try:
         sw_rate = bench_ekf_sweeps()
         one_rate = bench_ekf_pallas(batch=8192, steps=400)
@@ -268,12 +282,14 @@ def main():
         pf_rate = bench_pf_pallas(particles=2_097_152)
         print(f"# PF (pallas fused, 2M): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
+        print(roofline.PF_FUSED.analyze(pf_rate), file=sys.stderr)
     except Exception as e:
         print(f"# PF pallas 2M bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_batch()
         print(f"# PF (batched fused, 1024x1000): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
+        print(roofline.PF_BATCH.analyze(pf_rate), file=sys.stderr)
     except Exception as e:
         print(f"# PF batch bench failed: {e}", file=sys.stderr)
     try:
@@ -286,6 +302,7 @@ def main():
         pf_rate = bench_pf_batch_wide()
         print(f"# PF (batched wide fused, 128x10000): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
+        print(roofline.PF_WIDE.analyze(pf_rate), file=sys.stderr)
     except Exception as e:
         print(f"# PF batch wide bench failed: {e}", file=sys.stderr)
     try:
@@ -299,9 +316,12 @@ def main():
     except Exception as e:
         print(f"# graph bench failed: {e}", file=sys.stderr)
     try:
-        large_dt, n_edges = bench_graph_large()
+        large_dt, n_edges, gn_iters, n_poses = bench_graph_large()
         print(f"# graph solve (10k poses / 1k landmarks, {n_edges} edges): "
-              f"{large_dt:.3f} s (target < 1 s)", file=sys.stderr)
+              f"{large_dt:.3f} s, {gn_iters} GN iters (target < 1 s)",
+              file=sys.stderr)
+        print(roofline.tridiag_model(40).analyze(
+            n_poses * max(gn_iters, 1) / large_dt), file=sys.stderr)
     except Exception as e:
         print(f"# large graph bench failed: {e}", file=sys.stderr)
 

@@ -45,29 +45,39 @@ def main():
     rel_odom = po[1:] - po[:-1]
     rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
 
-    @jax.jit
-    def fn(p, obs, el, rel_odom):
-        res = graph_solve_banded(
-            cfg, p, obs, el, band=window, rel_odom=rel_odom,
-            odom_info=(100.0, 100.0, 100.0), solver="tridiag",
-            delta_tol=1e-6 * n_poses)
-        return res.poses, res.delta_sum, res.gn_iters
+    def make_fn(**kw):
+        @jax.jit
+        def fn(p, obs, el, rel_odom):
+            res = graph_solve_banded(
+                cfg, p, obs, el, band=window, rel_odom=rel_odom,
+                odom_info=(100.0, 100.0, 100.0), solver="tridiag",
+                delta_tol=1e-6 * n_poses, **kw)
+            return res.poses, res.delta_sum, res.gn_iters
+        return fn
 
-    t0 = time.perf_counter()
-    poses, dsum, iters = fn(po, obs, el, rel_odom)
-    poses.block_until_ready()
-    float(dsum)
-    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    poses, dsum, iters = fn(po, obs, el, rel_odom)
-    float(dsum)
-    dt = time.perf_counter() - t0
-    err = np.asarray(poses[:, :2]) - np.asarray(pt[:, :2])
-    rmse = float(np.sqrt((err ** 2).sum(-1).mean()))
     dr_err = np.asarray(po[:, :2]) - np.asarray(pt[:, :2])
     dr_rmse = float(np.sqrt((dr_err ** 2).sum(-1).mean()))
-    log(f"{n_poses}-pose solve: {dt:.2f} s, GN iters={int(iters)}, "
-        f"RMSE {rmse:.3f} (odometry-only {dr_rmse:.3f})")
+    variants = [
+        ("reuse+stall", dict(stall_ratio=0.5)),  # production path
+        ("reuse", dict()),
+        ("one-shot", dict(reuse_factorization=False)),
+    ]
+    for name, kw in variants:
+        fn = make_fn(**kw)
+        t0 = time.perf_counter()
+        poses, dsum, iters = fn(po, obs, el, rel_odom)
+        float(dsum)
+        log(f"[{name}] first call (compile+run): "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        poses, dsum, iters = fn(po, obs, el, rel_odom)
+        float(dsum)
+        dt = time.perf_counter() - t0
+        err = np.asarray(poses[:, :2]) - np.asarray(pt[:, :2])
+        rmse = float(np.sqrt((err ** 2).sum(-1).mean()))
+        log(f"[{name}] {n_poses}-pose solve: {dt:.2f} s, GN iters="
+            f"{int(iters)}, delta_sum {float(dsum):.3e}, RMSE {rmse:.3f} "
+            f"(odometry-only {dr_rmse:.3f})")
     log("ALL DONE")
 
 

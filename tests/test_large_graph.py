@@ -668,3 +668,127 @@ class TestFlatCg:
         # solver spread the cr-vs-tridiag test uses.
         np.testing.assert_allclose(np.asarray(r_cg.poses),
                                    np.asarray(r_td.poses), atol=2e-2)
+
+
+class TestFactorReuse:
+    """Factor-once/substitute-many Thomas split + the constant-H GN
+    fast path (graph_solve_banded reuse_factorization)."""
+
+    @staticmethod
+    def _random_block_tridiag(rng, n=6, m=9):
+        mats = rng.normal(size=(n, m, m))
+        diag = jnp.asarray(
+            mats @ mats.transpose(0, 2, 1) + 8.0 * np.eye(m), jnp.float32)
+        upper = jnp.asarray(rng.normal(size=(n - 1, m, m)) * 0.1,
+                            jnp.float32)
+        return diag, upper
+
+    def test_factor_substitute_bit_matches_solve(self, rng):
+        from tpuslam.slam.tridiag import (block_thomas_factor,
+                                          block_thomas_solve,
+                                          block_thomas_substitute)
+
+        diag, upper = self._random_block_tridiag(rng)
+        b = jnp.asarray(rng.normal(size=(6, 9)), jnp.float32)
+        want = block_thomas_solve(diag, upper, b)
+        got = block_thomas_substitute(block_thomas_factor(diag, upper), b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # Multi-rhs rank is preserved too.
+        b2 = jnp.asarray(rng.normal(size=(6, 4, 9)), jnp.float32)
+        want2 = block_thomas_solve(diag, upper, b2)
+        got2 = block_thomas_substitute(
+            block_thomas_factor(diag, upper), b2)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+    def test_flat_factor_resolve_matches_one_shot(self, rng):
+        from tpuslam.slam.tridiag import (banded_factor_tridiag_flat,
+                                          banded_resolve_tridiag_flat,
+                                          banded_solve_tridiag_flat)
+
+        t1, band = 23, 4
+        d1 = band + 1
+        n = 3 * t1
+        b_mat = rng.normal(size=(n, n)) * (
+            np.abs(np.subtract.outer(np.arange(n), np.arange(n))) <= 3)
+        a = b_mat @ b_mat.T + np.eye(n) * 8.0
+        for i in range(t1):
+            for j in range(t1):
+                if abs(i - j) > band:
+                    a[3 * i:3 * i + 3, 3 * j:3 * j + 3] = 0
+        a = (a + a.T) / 2 + np.eye(n) * 8.0
+        h_flat = np.zeros((d1 * 9, t1), np.float32)
+        for d in range(d1):
+            for r in range(3):
+                for c in range(3):
+                    for i in range(t1 - d):
+                        h_flat[d * 9 + 3 * r + c, i] = \
+                            a[3 * i + r, 3 * (i + d) + c]
+        rhs = jnp.asarray(rng.normal(size=(3, t1)), jnp.float32)
+        hf = jnp.asarray(h_flat)
+        for ss in (8, 16):
+            want = banded_solve_tridiag_flat(hf, rhs, band, super_size=ss)
+            fac = banded_factor_tridiag_flat(hf, band, super_size=ss)
+            got = banded_resolve_tridiag_flat(fac, rhs, ss)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+
+    @staticmethod
+    def _gn_scene(seed=3, t1=100):
+        from tpuslam.core.angles import wrap_angle
+
+        noise = 0.3
+        cfg = _cfg(t1, 20, max_gn_iters=10, exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(seed), t1, 20,
+                                       radius=40.0, odom_noise=noise)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        el = window_pairs(np.asarray(obs.valid), window=20)
+        kw = dict(band=20, rel_odom=rel_odom,
+                  odom_info=(1 / noise ** 2,) * 3)
+        return cfg, pt, po, obs, el, kw
+
+    def test_reuse_gn_matches_one_shot(self):
+        cfg, pt, po, obs, el, kw = self._gn_scene()
+        r_reuse = graph_solve_banded(cfg, po, obs, el, solver="tridiag",
+                                     **kw)  # auto-enabled
+        r_once = graph_solve_banded(cfg, po, obs, el, solver="tridiag",
+                                    reuse_factorization=False, **kw)
+        assert int(r_reuse.gn_iters) == int(r_once.gn_iters)
+        np.testing.assert_allclose(np.asarray(r_reuse.poses),
+                                   np.asarray(r_once.poses), atol=1e-5)
+
+    def test_stall_ratio_stops_at_noise_floor(self):
+        from tpuslam.models.scan_sensor import ScanConfig as _SC
+
+        _, pt, po, obs, el, kw = self._gn_scene()
+        # The f32 solve contracts delta_sum geometrically at ~kappa*eps
+        # (~0.22 on this scene) until it reaches the solver noise floor,
+        # where the ratio jumps toward 1.  With delta_tol below the
+        # floor, the absolute criterion alone runs to max_gn_iters; the
+        # stall check (default-separated at 0.5 > the working rate)
+        # stops at the floor.
+        cfg40 = _cfg(100, 20, max_gn_iters=40, exact_jacobians=True)
+        r_max = graph_solve_banded(cfg40, po, obs, el, solver="tridiag",
+                                   delta_tol=0.0, **kw)
+        r_stall = graph_solve_banded(cfg40, po, obs, el, solver="tridiag",
+                                     delta_tol=0.0, stall_ratio=0.5,
+                                     **kw)
+        assert int(r_max.gn_iters) == cfg40.max_gn_iters
+        assert int(r_stall.gn_iters) < cfg40.max_gn_iters
+        # Stopping at the stall point costs no accuracy.
+        err_stall = np.linalg.norm(
+            np.asarray(r_stall.poses[:, :2] - pt[:, :2]), axis=-1)
+        err_max = np.linalg.norm(
+            np.asarray(r_max.poses[:, :2] - pt[:, :2]), axis=-1)
+        assert np.sqrt((err_stall ** 2).mean()) <= \
+            np.sqrt((err_max ** 2).mean()) + 1e-3
+
+    def test_reuse_requires_constant_h(self):
+        cfg, pt, po, obs, el, kw = self._gn_scene()
+        with pytest.raises(ValueError, match="reuse_factorization"):
+            graph_solve_banded(cfg, po, obs, el, solver="cg",
+                               reuse_factorization=True, **kw)
+        with pytest.raises(ValueError, match="reuse_factorization"):
+            graph_solve_banded(cfg, po, obs, el, solver="tridiag",
+                               relinearize_omega=True,
+                               reuse_factorization=True, **kw)

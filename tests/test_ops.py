@@ -639,6 +639,35 @@ class TestPfBatchKernel:
         assert np.isfinite(np.asarray(outs.ess)).all()
 
 
+    def test_chunked_cells_match_one_filter_per_cell(self):
+        """filters_per_cell is a pure scheduling knob: g=4 and g=1 run
+        the same per-filter math on the same per-filter PRNG streams.
+        Particle states and estimates match exactly; the per-filter
+        logsumexp NORMALIZER may differ by 1 ulp (the m + log(sum)
+        scalar reduction fuses differently over a slice of a wider
+        block), so log weights are compared to 1e-5.  (Noise-free here -
+        the noisy-stream equality is validated on the real chip by
+        scripts/tpu_pf_batch.py.)"""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_rollout
+
+        cfg = PfConfig(num_particles=128, weight_mode="log")
+        f1, o1 = pf_batch_rollout(cfg, jax.random.key(5), batch=4,
+                                  n_steps=25, noise_on=False,
+                                  interpret=True, filters_per_cell=1)
+        f4, o4 = pf_batch_rollout(cfg, jax.random.key(5), batch=4,
+                                  n_steps=25, noise_on=False,
+                                  interpret=True, filters_per_cell=4)
+        np.testing.assert_array_equal(np.asarray(f4.particles),
+                                      np.asarray(f1.particles))
+        np.testing.assert_allclose(np.asarray(f4.log_w),
+                                   np.asarray(f1.log_w), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(o4.x_est),
+                                      np.asarray(o1.x_est))
+        np.testing.assert_array_equal(np.asarray(o4.ess),
+                                      np.asarray(o1.ess))
+
+
 class TestPfBatchPackedLayout:
     """Sublane-packed batched PF (R planes per filter) vs the flat
     layout (ops/pf_batch_pallas.py sub_rows)."""

@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuslam.filters.pf import PfConfig, boundary_law
 from tpuslam.models.process import circular_step
 from tpuslam.core.se2 import world_to_robot
+from tpuslam.ops.fastmath import normals as _normals
 from tpuslam.ops.pf_pallas import _predict_loglik
 from tpuslam.ops.resample_pallas import split3_kernel
 
@@ -149,169 +150,226 @@ def pf_batch_init(cfg: PfConfig, batch: int,
 
 def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
                      lw_ref, p_out_ref, lw_out_ref, st_ref, p_cur,
-                     lw_cur, flat3, flat1, *, cfg: PfConfig, P: int,
-                     noise_on: bool, sub_rows: int):
-    f = pl.program_id(0)
+                     lw_cur, flat3, flat1, nzs, *, cfg: PfConfig, P: int,
+                     noise_on: bool, sub_rows: int, g: int):
+    """G filters per grid cell (g=1 is the original one-filter-per-cell
+    layout; other g match it exactly on particles/estimates and to 1 ulp
+    on the per-filter logsumexp normalizer, whose scalar reduction fuses
+    differently over a slice of a wider block).
+
+    The ~0.5 us fixed cost per grid cell was the 8192-filter floor
+    (~4 ms/step, STATUS.md round-4); chunking G filters into one cell
+    amortizes it Gx.  The gate/resample stay PER FILTER (an unrolled
+    loop of ``@pl.when(fire_k)`` closures over column slices), the
+    predict + likelihood + weight update run VECTORIZED over the whole
+    (R, G*P8) block, and per-filter PRNG streams are preserved exactly
+    by re-seeding ``seed + cell*G + k`` before each sub-filter's draws
+    (== ``seed + f``), drawing its comb offset and Q-noise normals in
+    the original order into the ``nzs`` scratch.
+    """
+    c = pl.program_id(0)
     n = cfg.num_particles
     r = sub_rows
     p8 = P // r
-    if noise_on:
-        pltpu.prng_seed(seed_ref[0] + f)
 
-    lw = lw_ref[:, :]  # (R, P8); R=1 is the flat layout
     # Flat per-filter particle index of each packed element (row-major
     # over the R planes; exact in f32/int32 well past any tile size).
-    lane = (jax.lax.broadcasted_iota(jnp.int32, (r, p8), 0) * p8
-            + jax.lax.broadcasted_iota(jnp.int32, (r, p8), 1))
-    valid = lane < n
+    lane1 = (jax.lax.broadcasted_iota(jnp.int32, (r, p8), 0) * p8
+             + jax.lax.broadcasted_iota(jnp.int32, (r, p8), 1))
+    valid1 = lane1 < n
+    if g == 1:
+        lane_g, valid_g = lane1, valid1
+    else:
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (r, g * p8), 1)
+        lane_g = (jax.lax.broadcasted_iota(jnp.int32, (r, g * p8), 0) * p8
+                  + jax.lax.rem(col_g, jnp.int32(p8)))
+        valid_g = lane_g < n
     neg_inf = jnp.float32(-jnp.inf)
 
-    # --- gate statistics on the incoming (previous-step) weights ------
-    m = jnp.max(lw)
-    e = jnp.exp(lw - m)  # exp(-inf - m) == 0
-    s = jnp.sum(e)
-    s2 = jnp.sum(e * e)
-    bad = ~(jnp.isfinite(m) & (s > 0.0))
-    ess = jnp.where(bad, jnp.float32(n), s * s / s2)
-    fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
-    # Normalized previous log weights (NaN/-inf -> uniform reset,
-    # particle_filter.py:226-237).
-    lw_norm = jnp.where(bad, -math.log(float(n)), lw - (m + jnp.log(s)))
-    lw_norm = jnp.where(valid, lw_norm, neg_inf)
-
-    # Comb offset: drawn unconditionally so the per-tile PRNG stream
-    # does not depend on the gate (reduced to a scalar - Mosaic-friendly
-    # alternative to a vector lane read).
-    if noise_on:
-        bits = pltpu.prng_random_bits((r, p8))
-        offs = jnp.sum(
-            jax.lax.shift_right_logical(bits[0:1, 0:1], 8)
-            .astype(jnp.float32)) * (1.0 / (1 << 24))
-    else:
-        offs = jnp.float32(0.5)
-
     p_cur[:, :] = p_ref[:, :]
-    lw_cur[:, :] = lw_norm
 
-    # --- ESS-gated in-tile systematic resample (skipped when the gate
-    # does not fire: the matmuls below are the expensive part) ---------
-    @pl.when(fire)
-    def _resample():
-        # QUANTIZED-EXACT cumsum: weights are rounded to integer
-        # multiples of 2^-20 of the max-normalized mass, so every
-        # partial sum in the one-hot matmuls is an exact integer < 2^24
-        # in f32 (the bf16 splits of an integer are themselves
-        # integers, and each split row's f32 accumulator stays exact).
-        # Exact integer cumsums are MONOTONE in any summation order and
-        # the exclusive sum equals the previous inclusive sum exactly -
-        # which is what makes the slot intervals chain without overlap.
-        # (A raw f32 cumsum is NOT order-monotone: the mid/lo split
-        # rows are signed, and a ulp-level inversion would make two
-        # lanes' intervals overlap and the value matmul SUM two
-        # particles into one slot.)  Weights below 2^-21 of the total
-        # quantize to zero slots - statistically negligible.
-        #
-        # The interval machinery works on the FLAT per-filter lane
-        # order (the one-hot cumsum/expand matmuls contract over lanes);
-        # the packed R>1 layout relayouts through the flat VMEM scratch
-        # rows with R static row copies per variable - cheap, and only
-        # on the (gated) firing path.
-        w = jnp.exp(lw_norm)  # padding lanes 0
-        wq = jnp.round(w * float(1 << 20))  # integers in [0, 2^20]
-        if r == 1:
-            wq_f = wq
-        else:
-            for k in range(r):
-                flat1[0:1, k * p8:(k + 1) * p8] = wq[k:k + 1, :]
-            wq_f = flat1[0:1, :]
-        lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-        wh, wm, wl = split3_kernel(wq_f)
-        w3 = jnp.concatenate([wh, wm, wl], axis=0)  # (3, P) bf16
-        cum_i3 = jax.lax.dot_general(
-            w3, lt_inc_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        cum_e3 = jax.lax.dot_general(
-            w3, lt_exc_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        cum_i = cum_i3[0:1] + cum_i3[1:2] + cum_i3[2:3]
-        cum_e = cum_e3[0:1] + cum_e3[1:2] + cum_e3[2:3]
-        q_tot = jnp.max(cum_i)  # exact integer total (monotone cumsum)
-        # ONE reciprocal, then the shared multiply-only law: a single
-        # f32 multiply is monotone in `cum` under any lowering, so the
-        # no-overlap interval chaining holds regardless of how Mosaic
-        # rounds the reciprocal itself (filters/pf.py::boundary_law).
-        inv_tot = 1.0 / q_tot
-        t_hi = jnp.clip(boundary_law(cum_i, inv_tot, n, offs), 0.0,
-                        float(n))
-        t_hi = jnp.where(lane_f >= n - 1, float(n), t_hi)
-        t_lo = jnp.clip(boundary_law(cum_e, inv_tot, n, offs), 0.0,
-                        float(n))
-        t_lo = jnp.where(lane_f >= n, float(n), t_lo)
+    ess_l, fire_l, bad_l = [], [], []
+    for k in range(g):
+        cols = slice(k * p8, (k + 1) * p8)
+        lw = lw_ref[:, cols]  # (R, P8); R=1 is the flat layout
 
-        i_sub = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) \
-            .astype(jnp.float32)
-        msk = ((i_sub >= t_lo) & (i_sub < t_hi)).astype(jnp.bfloat16)
-        # Split-major value rows: [x y yaw]_hi, _mid, _lo.
-        if r == 1:
-            v_f = p_ref[:, :]
-        else:
-            for v in range(3):
-                for k in range(r):
-                    flat3[v:v + 1, k * p8:(k + 1) * p8] = \
-                        p_ref[v * r + k:v * r + k + 1, :]
-            v_f = flat3[:, :]
-        vh, vm, vl = split3_kernel(v_f)
-        v9 = jnp.concatenate([vh, vm, vl], axis=0)  # (9, P) bf16
-        part = jax.lax.dot_general(
-            v9, msk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (9, P)
-        px = part[0:1] + part[3:4] + part[6:7]
-        py = part[1:2] + part[4:5] + part[7:8]
-        pyaw = part[2:3] + part[5:6] + part[8:9]
-        if r == 1:
-            p_cur[0:1, :] = px
-            p_cur[1:2, :] = py
-            p_cur[2:3, :] = pyaw
-        else:
-            for k in range(r):
-                sl = slice(k * p8, (k + 1) * p8)
-                p_cur[k:k + 1, :] = px[0:1, sl]
-                p_cur[r + k:r + k + 1, :] = py[0:1, sl]
-                p_cur[2 * r + k:2 * r + k + 1, :] = pyaw[0:1, sl]
-        lw_cur[:, :] = jnp.where(valid, -math.log(float(n)), neg_inf)
+        # --- gate statistics on the incoming (previous-step) weights --
+        m = jnp.max(lw)
+        e = jnp.exp(lw - m)  # exp(-inf - m) == 0
+        s = jnp.sum(e)
+        s2 = jnp.sum(e * e)
+        bad = ~(jnp.isfinite(m) & (s > 0.0))
+        ess = jnp.where(bad, jnp.float32(n), s * s / s2)
+        fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
+        # Normalized previous log weights (NaN/-inf -> uniform reset,
+        # particle_filter.py:226-237).
+        lw_norm = jnp.where(bad, -math.log(float(n)),
+                            lw - (m + jnp.log(s)))
+        lw_norm = jnp.where(valid1, lw_norm, neg_inf)
+        lw_cur[:, cols] = lw_norm
+        ess_l.append(ess)
+        fire_l.append(fire)
+        bad_l.append(bad)
 
-    # --- predict + landmark log-likelihood ----------------------------
-    zget = lambda li, c: z_ref[0, 2 * li + c]  # noqa: E731
+        # Per-sub-filter PRNG stream == the one-filter-per-cell stream:
+        # re-seed, then draw the comb offset and the 4 Q-noise normals
+        # in the original order (offset drawn unconditionally so the
+        # stream does not depend on the gate).
+        if noise_on:
+            pltpu.prng_seed(seed_ref[0] + c * g + k)
+            bits = pltpu.prng_random_bits((r, p8))
+            offs = jnp.sum(
+                jax.lax.shift_right_logical(bits[0:1, 0:1], 8)
+                .astype(jnp.float32)) * (1.0 / (1 << 24))
+            nk = _normals((r, p8), 4)
+            for j in range(4):
+                nzs[j * r:(j + 1) * r, cols] = nk[j]
+        else:
+            offs = jnp.float32(0.5)
+
+        # --- ESS-gated in-tile systematic resample (skipped when the
+        # gate does not fire: the matmuls below are the expensive part)
+        @pl.when(fire)
+        def _resample(cols=cols, lw_norm=lw_norm, offs=offs):
+            # QUANTIZED-EXACT cumsum: weights are rounded to integer
+            # multiples of 2^-20 of the max-normalized mass, so every
+            # partial sum in the one-hot matmuls is an exact integer
+            # < 2^24 in f32 (the bf16 splits of an integer are
+            # themselves integers, and each split row's f32 accumulator
+            # stays exact).  Exact integer cumsums are MONOTONE in any
+            # summation order and the exclusive sum equals the previous
+            # inclusive sum exactly - which is what makes the slot
+            # intervals chain without overlap.  (A raw f32 cumsum is
+            # NOT order-monotone: the mid/lo split rows are signed, and
+            # a ulp-level inversion would make two lanes' intervals
+            # overlap and the value matmul SUM two particles into one
+            # slot.)  Weights below 2^-21 of the total quantize to zero
+            # slots - statistically negligible.
+            #
+            # The interval machinery works on the FLAT per-filter lane
+            # order (the one-hot cumsum/expand matmuls contract over
+            # lanes); the packed R>1 layout relayouts through the flat
+            # VMEM scratch rows with R static row copies per variable -
+            # cheap, and only on the (gated) firing path.
+            w = jnp.exp(lw_norm)  # padding lanes 0
+            wq = jnp.round(w * float(1 << 20))  # integers in [0, 2^20]
+            if r == 1:
+                wq_f = wq
+            else:
+                for kk in range(r):
+                    flat1[0:1, kk * p8:(kk + 1) * p8] = wq[kk:kk + 1, :]
+                wq_f = flat1[0:1, :]
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            wh, wm, wl = split3_kernel(wq_f)
+            w3 = jnp.concatenate([wh, wm, wl], axis=0)  # (3, P) bf16
+            cum_i3 = jax.lax.dot_general(
+                w3, lt_inc_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cum_e3 = jax.lax.dot_general(
+                w3, lt_exc_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cum_i = cum_i3[0:1] + cum_i3[1:2] + cum_i3[2:3]
+            cum_e = cum_e3[0:1] + cum_e3[1:2] + cum_e3[2:3]
+            q_tot = jnp.max(cum_i)  # exact integer total (monotone)
+            # ONE reciprocal, then the shared multiply-only law: a
+            # single f32 multiply is monotone in `cum` under any
+            # lowering, so the no-overlap interval chaining holds
+            # regardless of how Mosaic rounds the reciprocal itself
+            # (filters/pf.py::boundary_law).
+            inv_tot = 1.0 / q_tot
+            t_hi = jnp.clip(boundary_law(cum_i, inv_tot, n, offs), 0.0,
+                            float(n))
+            t_hi = jnp.where(lane_f >= n - 1, float(n), t_hi)
+            t_lo = jnp.clip(boundary_law(cum_e, inv_tot, n, offs), 0.0,
+                            float(n))
+            t_lo = jnp.where(lane_f >= n, float(n), t_lo)
+
+            i_sub = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) \
+                .astype(jnp.float32)
+            msk = ((i_sub >= t_lo) & (i_sub < t_hi)).astype(jnp.bfloat16)
+            # Split-major value rows: [x y yaw]_hi, _mid, _lo.
+            if r == 1 and g == 1:
+                v_f = p_ref[:, :]
+            else:
+                for v in range(3):
+                    for kk in range(r):
+                        flat3[v:v + 1, kk * p8:(kk + 1) * p8] = \
+                            p_ref[v * r + kk:v * r + kk + 1, cols]
+                v_f = flat3[:, :]
+            vh, vm, vl = split3_kernel(v_f)
+            v9 = jnp.concatenate([vh, vm, vl], axis=0)  # (9, P) bf16
+            part = jax.lax.dot_general(
+                v9, msk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (9, P)
+            px = part[0:1] + part[3:4] + part[6:7]
+            py = part[1:2] + part[4:5] + part[7:8]
+            pyaw = part[2:3] + part[5:6] + part[8:9]
+            if r == 1:
+                p_cur[0:1, cols] = px
+                p_cur[1:2, cols] = py
+                p_cur[2:3, cols] = pyaw
+            else:
+                for kk in range(r):
+                    sl = slice(kk * p8, (kk + 1) * p8)
+                    p_cur[kk:kk + 1, cols] = px[0:1, sl]
+                    p_cur[r + kk:r + kk + 1, cols] = py[0:1, sl]
+                    p_cur[2 * r + kk:2 * r + kk + 1, cols] = pyaw[0:1, sl]
+            lw_cur[:, cols] = jnp.where(valid1, -math.log(float(n)),
+                                        neg_inf)
+
+    # --- predict + landmark log-likelihood (vectorized over the G
+    # filters; per-filter z components are precomputed (2L, B*P8) rows
+    # that broadcast against the (R, G*P8) block) ----------------------
+    zget = lambda li, cc: z_ref[2 * li + cc:2 * li + cc + 1, :]  # noqa: E731
+    nrm = ([nzs[j * r:(j + 1) * r, :] for j in range(4)]
+           if noise_on else None)
     x, y, yaw, acc = _predict_loglik(
-        cfg, z_ref, p_cur[0:r, :], p_cur[r:2 * r, :], p_cur[2 * r:3 * r, :],
-        noise_on, z_get=zget)
-    lw_new = jnp.where(valid, lw_cur[:, :] + acc, neg_inf)
+        cfg, z_ref, p_cur[0:r, :], p_cur[r:2 * r, :],
+        p_cur[2 * r:3 * r, :], noise_on, z_get=zget, normals=nrm)
+    lw_new = jnp.where(valid_g, lw_cur[:, :] + acc, neg_inf)
 
     p_out_ref[0:r, :] = x
     p_out_ref[r:2 * r, :] = y
     p_out_ref[2 * r:3 * r, :] = yaw
     lw_out_ref[:, :] = lw_new
 
-    # --- per-filter stats row (SMEM scalars) --------------------------
-    m2 = jnp.max(lw_new)
-    lse_new = m2 + jnp.log(jnp.sum(jnp.exp(lw_new - m2)))
-    lanef = lane.astype(jnp.float32)
-    best = jnp.max(jnp.where(lw_new == m2, lanef, neg_inf))
-    sel = lanef == best
-    st_ref[0, 0] = jnp.max(jnp.where(sel, x, neg_inf))
-    st_ref[0, 1] = jnp.max(jnp.where(sel, y, neg_inf))
-    st_ref[0, 2] = jnp.max(jnp.where(sel, yaw, neg_inf))
-    st_ref[0, 3] = ess
-    st_ref[0, 4] = lse_new
-    st_ref[0, 5] = m2
-    st_ref[0, 6] = fire.astype(jnp.float32)
-    st_ref[0, 7] = bad.astype(jnp.float32)
+    # --- per-filter stats rows (SMEM scalars) --------------------------
+    lanef = lane1.astype(jnp.float32)
+    for k in range(g):
+        cols = slice(k * p8, (k + 1) * p8)
+        lwk = lw_new[:, cols]
+        m2 = jnp.max(lwk)
+        lse_new = m2 + jnp.log(jnp.sum(jnp.exp(lwk - m2)))
+        best = jnp.max(jnp.where(lwk == m2, lanef, neg_inf))
+        sel = lanef == best
+        st_ref[0, k * 128 + 0] = jnp.max(
+            jnp.where(sel, x[:, cols], neg_inf))
+        st_ref[0, k * 128 + 1] = jnp.max(
+            jnp.where(sel, y[:, cols], neg_inf))
+        st_ref[0, k * 128 + 2] = jnp.max(
+            jnp.where(sel, yaw[:, cols], neg_inf))
+        st_ref[0, k * 128 + 3] = ess_l[k]
+        st_ref[0, k * 128 + 4] = lse_new
+        st_ref[0, k * 128 + 5] = m2
+        st_ref[0, k * 128 + 6] = fire_l[k].astype(jnp.float32)
+        st_ref[0, k * 128 + 7] = bad_l[k].astype(jnp.float32)
+
+
+def _auto_filters_per_cell(b: int) -> int:
+    """Largest of (8, 4, 2, 1) dividing the batch: amortizes the
+    ~0.5 us per-grid-cell fixed cost that floors large batches."""
+    for cand in (8, 4, 2):
+        if b % cand == 0:
+            return cand
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "noise_on",
-                                             "interpret"))
+                                             "interpret",
+                                             "filters_per_cell"))
 def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
-                  noise_on: bool = True, interpret: bool = False):
+                  noise_on: bool = True, interpret: bool = False,
+                  filters_per_cell: int | None = None):
     """One step of B independent fused filters (order = main_pf,
     particle_filter.py:86-119: resample -> predict -> observe -> weight
     -> estimate; the shared truth advances first).
@@ -321,6 +379,12 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
         key: drives the shared truth's observation noise (per-filter
             independent draws); kernel noise comes from the on-core PRNG
             seeded by ``seed`` + filter id.
+        filters_per_cell: filters served per grid cell (must divide B;
+            default auto = 8 where possible).  A scheduling knob: the
+            kernel re-seeds each sub-filter's PRNG stream at
+            ``seed + f``, so outputs match across values (exactly on
+            particles/estimates; to 1 ulp on the logsumexp normalizer —
+            see :func:`_pf_batch_kernel`).
 
     Returns:
         ``(next_state, PfBatchOut)``.
@@ -329,37 +393,45 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
     P = _padded_p(cfg, r)
     p8 = P // r
     b = state.particles.shape[1] // p8
+    g = (_auto_filters_per_cell(b) if filters_per_cell is None
+         else filters_per_cell)
+    if b % g:
+        raise ValueError(f"filters_per_cell {g} must divide batch {b}")
 
     x_true = circular_step(state.x_true, cfg.vel, cfg.yaw_rate, cfg.dt)
     lm = jnp.asarray(cfg.landmarks, jnp.float32)
     z0 = world_to_robot(x_true, lm)  # (L, 2)
     noise = jax.random.normal(key, (b,) + z0.shape, jnp.float32)
     z = z0[None] + noise * jnp.asarray(cfg.r_std, jnp.float32)
-    # Grid-major flat layout (1, B*128): per-tile blocks (1, 128) satisfy
-    # Mosaic's block-shape rules (dim0 equal, dim1 divisible by 128).
-    z_flat = jnp.zeros((b, 128), jnp.float32)
-    z_flat = z_flat.at[:, :z0.size].set(z.reshape(b, -1))
-    z_rows = z_flat.reshape(1, b * 128)
+    # Observation components as (2L, B*P8) rows (filter f's values
+    # broadcast across its column block) so the chunked kernel's
+    # vectorized likelihood reads per-filter z by ROW slice; rows are
+    # padded to a sublane multiple.
+    zr = -(-2 * z0.shape[0] // 8) * 8
+    z_rows = jnp.zeros((zr, b, 1), jnp.float32)
+    z_rows = z_rows.at[:2 * z0.shape[0]].set(
+        z.reshape(b, -1).T[:, :, None])
+    z_rows = jnp.broadcast_to(z_rows, (zr, b, p8)).reshape(zr, b * p8)
 
     ii = jnp.arange(P, dtype=jnp.int32)
     lt_inc = (ii[:, None] <= ii[None, :]).astype(jnp.bfloat16)
     lt_exc = (ii[:, None] < ii[None, :]).astype(jnp.bfloat16)
 
     kernel = functools.partial(_pf_batch_kernel, cfg=cfg, P=P,
-                               noise_on=noise_on, sub_rows=r)
-    row3 = pl.BlockSpec((3 * r, p8), lambda f: (0, f),
+                               noise_on=noise_on, sub_rows=r, g=g)
+    row3 = pl.BlockSpec((3 * r, g * p8), lambda c: (0, c),
                         memory_space=pltpu.VMEM)
-    row1 = pl.BlockSpec((r, p8), lambda f: (0, f),
+    row1 = pl.BlockSpec((r, g * p8), lambda c: (0, c),
                         memory_space=pltpu.VMEM)
-    const = pl.BlockSpec((P, P), lambda f: (0, 0),
+    const = pl.BlockSpec((P, P), lambda c: (0, 0),
                          memory_space=pltpu.VMEM)
     p_out, lw_out, st = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 128), lambda f: (0, f),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((zr, g * p8), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
             const, const, row3, row1,
         ],
         out_shape=(
@@ -368,12 +440,13 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
             jax.ShapeDtypeStruct((1, b * 128), jnp.float32),
         ),
         out_specs=(row3, row1,
-                   pl.BlockSpec((1, 128), lambda f: (0, f),
+                   pl.BlockSpec((1, g * 128), lambda c: (0, c),
                                 memory_space=pltpu.SMEM)),
-        scratch_shapes=[pltpu.VMEM((3 * r, p8), jnp.float32),
-                        pltpu.VMEM((r, p8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * r, g * p8), jnp.float32),
+                        pltpu.VMEM((r, g * p8), jnp.float32),
                         pltpu.VMEM((3, P), jnp.float32),
-                        pltpu.VMEM((1, P), jnp.float32)],
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((4 * r, g * p8), jnp.float32)],
         input_output_aliases={4: 0, 5: 1},
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), z_rows, lt_inc, lt_exc,
@@ -389,7 +462,8 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
 
 def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                      noise_on: bool = True, interpret: bool = False,
-                     sub_rows: int | None = None, seed0=1):
+                     sub_rows: int | None = None, seed0=1,
+                     filters_per_cell: int | None = None):
     """``n_steps`` batched fused steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs each filter's particle axis into 8
@@ -410,7 +484,8 @@ def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         st, seed = carry
         k = inp
         st, out = pf_batch_step(cfg, st, k, seed, noise_on=noise_on,
-                                interpret=interpret)
+                                interpret=interpret,
+                                filters_per_cell=filters_per_cell)
         return (st, seed + 7919), out
 
     (final, _), outs = jax.lax.scan(

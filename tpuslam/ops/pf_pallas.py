@@ -57,19 +57,27 @@ from tpuslam.ops.fastmath import normals as _normals  # noqa: E402
 
 
 def _predict_loglik(cfg: PfConfig, z_ref, x, y, yaw, noise_on: bool,
-                    z_get=None):
+                    z_get=None, normals=None):
     """Shared kernel math: circular predict + landmark log-likelihood.
 
     Returns ``(x', y', yaw', loglik)`` rows (all ``(1, tile)``).
 
     ``z_get(li, c)`` reads the scalar observation component ``c`` of
     landmark ``li`` (default: ``z_ref[li, c]``, the single-filter (L, 2)
-    layout; the batched kernel passes a row accessor).
+    layout; the batched kernel passes a row accessor — any value that
+    broadcasts against the lane shape works).
+
+    ``normals`` overrides the in-place Q-noise draw with precomputed
+    standard normals (>= 3 lane-shaped arrays) — the chunked batched
+    kernel draws them per sub-filter so its PRNG streams stay
+    bit-identical to the one-filter-per-cell layout.
     """
     if z_get is None:
         z_get = lambda li, c: z_ref[li, c]  # noqa: E731
     lane = x.shape
-    if noise_on:
+    if normals is not None:
+        n = normals
+    elif noise_on:
         n = _normals(lane, 4)
     else:
         n = [jnp.zeros(lane, jnp.float32)] * 4

@@ -282,6 +282,73 @@ def build_edge_blocks(cfg: GraphConfig, poses, obs: GraphObservations,
     }
 
 
+@highest_matmul_precision
+def exact_edge_terms(cfg: GraphConfig, obs: GraphObservations,
+                     edges: EdgeList, omega_poses):
+    """Constant per-edge terms of the exact-linear formulation.
+
+    With ``exact_jacobians=True`` and frozen Omega the residual is
+    ``err = (pose_a - pose_b) - rel_obs`` with ``rel_obs`` a pure
+    function of the observations, and the information ``om`` is fixed at
+    ``omega_poses``: H never changes across GN iterations — only the
+    rhs does.  This computes the two constants once (same expressions
+    as :func:`build_edge_blocks`, so :func:`exact_rhs_flat` rebuilds the
+    rhs bit-identically to the full assembly).
+
+    Returns ``(om (E, 3, 3) mask-premultiplied, rel_obs (E, 3),
+    mask (E,))``.
+    """
+    tb, ta, lm = edges.t_b, edges.t_a, edges.lm
+    d_b = obs.dist[tb, lm]
+    d_a = obs.dist[ta, lm]
+    dir_b = obs.bearing[tb, lm]
+    dir_a = obs.bearing[ta, lm]
+    or_b = obs.orient[tb, lm]
+    or_a = obs.orient[ta, lm]
+    mask = (obs.valid[tb, lm] & obs.valid[ta, lm] & edges.valid)
+
+    dwb = wrap_angle(jnp.pi + dir_b - or_b)
+    dwa = wrap_angle(jnp.pi + dir_a - or_a)
+    owb = wrap_angle(BASE_ANG - or_b)
+    owa = wrap_angle(BASE_ANG - or_a)
+    rel_obs = jnp.stack([
+        d_a * jnp.cos(dwa) - d_b * jnp.cos(dwb),
+        d_a * jnp.sin(dwa) - d_b * jnp.sin(dwb),
+        wrap_angle(owa - owb),
+    ], axis=-1)
+
+    om_yaw_b = omega_poses[tb][:, 2]
+    om_yaw_a = omega_poses[ta][:, 2]
+    cov = (_measurement_cov_world(cfg, d_a, dir_a, om_yaw_a)
+           + _measurement_cov_world(cfg, d_b, dir_b, om_yaw_b))
+    om = _inv3x3(cov) * mask.astype(omega_poses.dtype)[:, None, None]
+    return om, rel_obs, mask
+
+
+@highest_matmul_precision
+def exact_rhs_flat(poses, om, rel_obs, edges: EdgeList, t1: int):
+    """Rebuild ONLY the rhs ``b_flat (3, T1)`` from the current poses.
+
+    The per-GN-iteration work of the factor-reuse path: gather the two
+    pose endpoints per edge, form the linear residual, weight by the
+    frozen ``om``, scatter.  Bit-identical to the b half of
+    :func:`build_edge_blocks` + :func:`assemble_banded_flat` given the
+    same ``(om, rel_obs)`` (see :func:`exact_edge_terms`).
+    """
+    tb, ta = edges.t_b, edges.t_a
+    rel = poses[ta] - poses[tb]
+    err = jnp.stack([
+        rel[:, 0] - rel_obs[:, 0],
+        rel[:, 1] - rel_obs[:, 1],
+        wrap_angle(wrap_angle(rel[:, 2]) - rel_obs[:, 2]),
+    ], axis=-1)
+    om_err = jnp.einsum("eij,ej->ei", om, err)
+    b_flat = jnp.zeros((3, t1), poses.dtype)
+    b_flat = b_flat.at[:, tb].add(-om_err.T)
+    b_flat = b_flat.at[:, ta].add(om_err.T)
+    return b_flat
+
+
 def assemble_banded_flat(cfg: GraphConfig, blocks, edges: EdgeList,
                          t1: int, band: int):
     """Scatter-add edge blocks into FLAT banded storage.
@@ -344,22 +411,30 @@ def assemble_banded(cfg: GraphConfig, blocks, edges: EdgeList, t1: int,
     return h_band, b_flat.T, kept
 
 
-def add_odometry_chain_flat(h_flat, b_flat, poses, rel_odom, odom_info):
-    """Flat-layout twin of :func:`add_odometry_chain` (diagonal-
-    information motion chain; pure row slice-adds, no scatters)."""
+def odometry_rhs_flat(b_flat, poses, rel_odom, odom_info):
+    """The rhs half of :func:`add_odometry_chain_flat` (the chain's H
+    contribution is pose-independent; the factor-reuse GN loop rebuilds
+    only this per iteration)."""
     info = jnp.asarray(odom_info, poses.dtype)
     rel = poses[1:] - poses[:-1]
     err = rel - rel_odom
     err = err.at[:, 2].set(wrap_angle(err[:, 2]))
     w_err = (err * info).T  # (3, T1-1)
+    b_flat = b_flat.at[:, :-1].add(-w_err)
+    b_flat = b_flat.at[:, 1:].add(w_err)
+    return b_flat
 
+
+def add_odometry_chain_flat(h_flat, b_flat, poses, rel_odom, odom_info):
+    """Flat-layout twin of :func:`add_odometry_chain` (diagonal-
+    information motion chain; pure row slice-adds, no scatters)."""
+    info = jnp.asarray(odom_info, poses.dtype)
     for r in range(3):
         k = 4 * r  # diagonal entry (r, r)
         h_flat = h_flat.at[k, :-1].add(info[r])
         h_flat = h_flat.at[k, 1:].add(info[r])
         h_flat = h_flat.at[9 + k, :-1].add(-info[r])
-    b_flat = b_flat.at[:, :-1].add(-w_err)
-    b_flat = b_flat.at[:, 1:].add(w_err)
+    b_flat = odometry_rhs_flat(b_flat, poses, rel_odom, odom_info)
     return h_flat, b_flat
 
 
@@ -646,7 +721,9 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        relinearize_omega: bool = False,
                        delta_tol: float | None = None,
                        damping: float = 0.0,
-                       super_size: int | None = None):
+                       super_size: int | None = None,
+                       stall_ratio: float | None = None,
+                       reuse_factorization: bool | None = None):
     """Gauss-Newton with banded assembly + selectable inner solver.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -694,16 +771,51 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             inverse) against scan-iteration dispatch overhead, at
             ``~36*S`` bytes/pose of stacked carry memory.  Ignored by
             the other solvers.
+        stall_ratio: optional progress criterion: stop GN once
+            ``delta_sum > stall_ratio * previous delta_sum`` (no longer
+            geometrically converging).  At trajectory scale the absolute
+            ``delta_tol`` sits below the f32 solve-noise floor
+            (``||dx||^2`` saturates at ~``(eps * ||x||)^2`` — at 1M
+            poses on a 50 km course that is >> any meaningful tol), so
+            absolute-threshold GN always runs to ``max_gn_iters``; the
+            stall check stops it the first iteration that fails to
+            shrink the step.  None (default) disables it.
+        reuse_factorization: factor H once and solve every GN iteration
+            by substitution.  Valid ONLY when H is constant across
+            iterations: ``exact_jacobians=True`` (blocks are +/-Omega),
+            ``relinearize_omega=False`` (Omega frozen at the initial
+            guess), ``solver="tridiag"``.  Default None auto-enables it
+            exactly in that configuration (bit-identical results: the
+            staged factor/substitute runs the same ops in the same
+            order; see :func:`tpuslam.slam.tridiag.block_thomas_factor`).
+            GN iterations after the first then cost an O(E + T1) rhs
+            rebuild plus two O(S^2)-per-block substitution scans instead
+            of the full O(S^3)-per-block factorization.
     """
     if damping < 0.0:
         raise ValueError(f"damping must be >= 0, got {damping}; negative "
                          "damping subtracts from diag(H) and degrades "
                          "conditioning")
+    can_reuse = (solver == "tridiag" and cfg.exact_jacobians
+                 and not relinearize_omega)
+    if reuse_factorization is None:
+        reuse_factorization = can_reuse
+    elif reuse_factorization and not can_reuse:
+        raise ValueError(
+            "reuse_factorization requires constant H: exact_jacobians="
+            "True, relinearize_omega=False, solver='tridiag' (got "
+            f"exact_jacobians={cfg.exact_jacobians}, relinearize_omega="
+            f"{relinearize_omega}, solver={solver!r})")
     t1 = poses_init.shape[0]
     tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
 
+    if reuse_factorization:
+        return _graph_solve_banded_reuse(
+            cfg, poses_init, obs, edges, band, rel_odom, odom_info,
+            damping, super_size, tol, stall_ratio)
+
     def gn_body(carry):
-        poses, _, iters, _ = carry
+        poses, _, _, iters, _ = carry
         omega_poses = poses if relinearize_omega else poses_init
         blocks = build_edge_blocks(cfg, poses, obs, edges,
                                    omega_poses=omega_poses)
@@ -749,16 +861,87 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
         # but by ~0 physically - raw deltas would keep GN at max_iters on
         # long courses whose yaws sweep the boundary.
         eff = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
-        return poses, jnp.sum(eff * eff), iters + 1, cg_it
+        return poses, jnp.sum(eff * eff), carry[1], iters + 1, cg_it
+
+    gn_cond = _make_gn_cond(tol, cfg.max_gn_iters, stall_ratio)
+    init = (poses_init, jnp.asarray(jnp.inf, poses_init.dtype),
+            jnp.asarray(jnp.inf, poses_init.dtype),
+            jnp.asarray(0), jnp.asarray(0))
+    poses, delta_sum, _, iters, cg_it = jax.lax.while_loop(
+        gn_cond, gn_body, init)
+    return BandedSolveResult(poses=poses, gn_iters=iters,
+                             delta_sum=delta_sum, cg_iters_last=cg_it)
+
+
+def _make_gn_cond(tol, max_iters: int, stall_ratio: float | None):
+    """GN while_loop condition over ``(poses, delta_sum, prev_delta_sum,
+    iters, cg_it)`` carries: absolute threshold + iteration cap, plus the
+    optional stall check (see ``graph_solve_banded`` ``stall_ratio``)."""
 
     def gn_cond(carry):
-        _, delta_sum, iters, _ = carry
-        return (delta_sum >= tol) & (
-            iters < cfg.max_gn_iters)
+        _, delta_sum, prev, iters, _ = carry
+        go = (delta_sum >= tol) & (iters < max_iters)
+        if stall_ratio is not None:
+            # Only meaningful once two real delta_sums exist (the carry
+            # is seeded with inf/inf, and inf < ratio*inf is False).
+            go = go & ((iters < 2) | (delta_sum < stall_ratio * prev))
+        return go
 
-    init = (poses_init, jnp.asarray(tol, poses_init.dtype),
+    return gn_cond
+
+
+def _graph_solve_banded_reuse(cfg: GraphConfig, poses_init,
+                              obs: GraphObservations, edges: EdgeList,
+                              band: int, rel_odom, odom_info,
+                              damping: float, super_size: int | None,
+                              tol, stall_ratio: float | None):
+    """Factor-reuse GN: constant-H fast path of :func:`graph_solve_banded`.
+
+    H is assembled and Thomas-factored ONCE (the O(S^3)-per-block cost);
+    the while_loop body rebuilds only the rhs from the current poses and
+    back-substitutes.  Valid exactly when ``exact_jacobians=True`` and
+    ``relinearize_omega=False`` (see the caller's guard); results are
+    bit-identical to the one-shot path, which re-factors the same H
+    every iteration.
+    """
+    from tpuslam.slam.tridiag import (banded_factor_tridiag_flat,
+                                      banded_resolve_tridiag_flat)
+
+    t1 = poses_init.shape[0]
+    ss = max(band, 1) if super_size is None else super_size
+    om, rel_obs, mask = exact_edge_terms(cfg, obs, edges, poses_init)
+    zeros_b = jnp.zeros((om.shape[0], 3), om.dtype)
+    blocks = {"h_bb": om, "h_ba": -om, "h_aa": om,
+              "b_b": zeros_b, "b_a": zeros_b, "mask": mask}
+    h_flat, _, kept = assemble_banded_flat(cfg, blocks, edges, t1, band)
+    if rel_odom is not None:
+        h_flat, _ = add_odometry_chain_flat(
+            h_flat, jnp.zeros((3, t1), h_flat.dtype), poses_init,
+            rel_odom, odom_info)
+        kept = jnp.ones_like(kept)
+    if damping:
+        for k in (0, 4, 8):
+            h_flat = h_flat.at[k].multiply(1.0 + damping)
+    fac = banded_factor_tridiag_flat(h_flat, band, ss)
+
+    def gn_body(carry):
+        poses, delta_prev, _, iters, _ = carry
+        b_flat = exact_rhs_flat(poses, om, rel_obs, edges, t1)
+        if rel_odom is not None:
+            b_flat = odometry_rhs_flat(b_flat, poses, rel_odom, odom_info)
+        delta = banded_resolve_tridiag_flat(fac, -b_flat, ss)
+        delta = delta * kept[:, None]
+        poses = poses + delta
+        poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
+        eff = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
+        return (poses, jnp.sum(eff * eff), delta_prev, iters + 1,
+                jnp.asarray(0))
+
+    gn_cond = _make_gn_cond(tol, cfg.max_gn_iters, stall_ratio)
+    init = (poses_init, jnp.asarray(jnp.inf, poses_init.dtype),
+            jnp.asarray(jnp.inf, poses_init.dtype),
             jnp.asarray(0), jnp.asarray(0))
-    poses, delta_sum, iters, cg_it = jax.lax.while_loop(
+    poses, delta_sum, _, iters, cg_it = jax.lax.while_loop(
         gn_cond, gn_body, init)
     return BandedSolveResult(poses=poses, gn_iters=iters,
                              delta_sum=delta_sum, cg_iters_last=cg_it)

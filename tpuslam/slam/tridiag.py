@@ -28,6 +28,8 @@ Two pipelines share the Thomas core (:func:`block_thomas_solve`):
 
 from __future__ import annotations
 
+import typing
+
 import jax
 import jax.numpy as jnp
 
@@ -95,6 +97,91 @@ def band_to_tridiag(h_band, super_size: int):
     up = jnp.zeros((n, s3, s3), h_band.dtype)
     up = up.at[:, :, :up_d.shape[2]].set(up_d)
     return diag, up[:-1]
+
+
+class ThomasFactor(typing.NamedTuple):
+    """Reusable block-Thomas factorization (see :func:`block_thomas_factor`).
+
+    ``invs[k] = S_k^{-1}`` (Schur-complement inverses), ``ws[k] =
+    S_{k-1}^{-1} U_{k-1}`` (the forward-substitution multipliers), and
+    ``up`` the zero-extended upper coupling blocks — everything the
+    substitution passes need, nothing that depends on the rhs.
+    """
+
+    invs: jax.Array  # (N, M, M)
+    ws: jax.Array  # (N, M, M)
+    up: jax.Array  # (N, M, M)
+
+
+def block_thomas_factor(diag, upper) -> ThomasFactor:
+    """Factor the symmetric block-tridiagonal system once.
+
+    The forward elimination of :func:`block_thomas_solve` splits into a
+    rhs-independent factorization (this function: the Cholesky/Schur
+    recursion, O(M^3) per block) and a cheap rhs substitution
+    (:func:`block_thomas_substitute`, O(M^2) matvecs per block).  When
+    the system matrix is CONSTANT across Gauss-Newton iterations — the
+    exact-Jacobian + frozen-Omega graph formulation, where only the rhs
+    changes (see :func:`tpuslam.slam.large.graph_solve_banded`
+    ``reuse_factorization``) — factoring once turns every GN iteration
+    after the first into a substitution.
+
+    Returns a :class:`ThomasFactor`; ``block_thomas_substitute(factor,
+    b)`` is bit-identical to ``block_thomas_solve(diag, upper, b)``
+    (same ops in the same order, just staged).
+    """
+    n, m = diag.shape[0], diag.shape[1]
+    up = jnp.concatenate([upper, jnp.zeros((1, m, m), diag.dtype)], axis=0)
+    eye = jnp.eye(m, dtype=diag.dtype)
+
+    with jax.default_matmul_precision("highest"):
+        def fwd(carry, inputs):
+            inv_prev, u_prev = carry
+            a_k, u_k = inputs
+            w = inv_prev @ u_prev  # S_{k-1}^{-1} U_{k-1}
+            s_k = a_k - u_prev.T @ w
+            s_k = 0.5 * (s_k + s_k.T)
+            chol_k = jnp.linalg.cholesky(s_k)
+            li = jax.lax.linalg.triangular_solve(
+                chol_k, eye, left_side=True, lower=True)
+            inv_k = li.T @ li
+            return (inv_k, u_k), (inv_k, w)
+
+        init = (eye, jnp.zeros((m, m), diag.dtype))
+        _, (invs, ws) = jax.lax.scan(fwd, init, (diag, up))
+    return ThomasFactor(invs=invs, ws=ws, up=up)
+
+
+def block_thomas_substitute(factor: ThomasFactor, b):
+    """Solve with a precomputed :class:`ThomasFactor` (two O(M^2) scans).
+
+    Bit-identical to :func:`block_thomas_solve` on the same system:
+    the forward pass replays ``y_k = b_k - y_{k-1} W_k`` with the
+    recorded multipliers, the backward pass is unchanged.
+    """
+    invs, ws, up = factor
+    n, m = invs.shape[0], invs.shape[1]
+    squeeze = b.ndim == 2
+    b_row = b[:, None, :] if squeeze else b  # (n, K, m)
+    n_rhs = b_row.shape[1]
+    with jax.default_matmul_precision("highest"):
+        def fwd(y_prev, inputs):
+            w_k, b_k = inputs
+            y_k = b_k - y_prev @ w_k
+            return y_k, y_k
+
+        _, ys = jax.lax.scan(
+            fwd, jnp.zeros((n_rhs, m), invs.dtype), (ws, b_row))
+
+        def bwd(x_next, inputs):
+            inv_k, y_k, u_k = inputs
+            x_k = (y_k - x_next @ u_k.T) @ inv_k
+            return x_k, x_k
+
+        _, xs_rev = jax.lax.scan(
+            bwd, jnp.zeros((n_rhs, m), invs.dtype),
+            (invs[::-1], ys[::-1], up[::-1]))
+        return xs_rev[::-1, 0, :] if squeeze else xs_rev[::-1]
 
 
 def block_thomas_solve(diag, upper, b):
@@ -355,6 +442,58 @@ def banded_solve_tridiag_flat(h_flat, b_flat, band: int,
         b_sup = flat_rows_to_super(b_s, super_size)
         x = block_thomas_solve(diag, upper, b_sup)
         x3 = super_rows_to_flat(x, super_size) * s
+    return x3.T[:t1]
+
+
+class TridiagFlatFactor(typing.NamedTuple):
+    """Reusable factorization of a flat banded system (prescale + Thomas
+    factor); solve new right-hand sides with
+    :func:`banded_resolve_tridiag_flat`."""
+
+    factor: ThomasFactor
+    s: jax.Array  # (3, T_pad) Jacobi prescale rows
+
+
+def banded_factor_tridiag_flat(h_flat, band: int,
+                               super_size: int | None = None
+                               ) -> TridiagFlatFactor:
+    """Factor a flat banded system once for many right-hand sides.
+
+    :func:`banded_solve_tridiag_flat` staged: pad + Jacobi prescale +
+    super-block densification + :func:`block_thomas_factor`.  The flat
+    GN loop with constant H (exact Jacobians, frozen Omega) calls this
+    once and then only :func:`banded_resolve_tridiag_flat` per
+    iteration — the factorization (O(S^3) Cholesky/Schur per block) is
+    the dominant cost of a solve; the substitution is O(S^2) matvecs.
+    """
+    if super_size is None:
+        super_size = max(band, 1)
+    h_flat, _ = pad_flat(h_flat, jnp.zeros((3, h_flat.shape[1]),
+                                           h_flat.dtype), super_size)
+    with jax.default_matmul_precision("highest"):
+        h_s, _, s = _flat_prescale(
+            h_flat, jnp.zeros((3, h_flat.shape[1]), h_flat.dtype), band)
+        diag, upper = _flat_to_tridiag(h_s, band, super_size)
+        return TridiagFlatFactor(factor=block_thomas_factor(diag, upper),
+                                 s=s)
+
+
+def banded_resolve_tridiag_flat(fac: TridiagFlatFactor, b_flat,
+                                super_size: int) -> jax.Array:
+    """Solve ``H x = b`` with a precomputed :class:`TridiagFlatFactor`.
+
+    Bit-identical to :func:`banded_solve_tridiag_flat` on the same
+    ``(h_flat, b_flat)`` (the prescale/interleave/substitution ops run
+    in the same order).  Returns ``(T1, 3)`` like the one-shot solver.
+    """
+    t1 = b_flat.shape[1]
+    t_pad = fac.s.shape[1]
+    b_flat = jnp.pad(b_flat, ((0, 0), (0, t_pad - t1)))
+    with jax.default_matmul_precision("highest"):
+        b_s = b_flat * fac.s
+        b_sup = flat_rows_to_super(b_s, super_size)
+        x = block_thomas_substitute(fac.factor, b_sup)
+        x3 = super_rows_to_flat(x, super_size) * fac.s
     return x3.T[:t1]
 
 
