@@ -99,37 +99,46 @@ def staged_step(cfg, state, key, seed, stage, tile_n=1024, w_b=12):
             w_sel = jnp.exp(lw2[fids] - state.lse[fids][:, None])
             total = jnp.sum(w_sel, axis=-1, keepdims=True)
             wq = quantize_weights_law(w_sel, total)
-            tile_sums = wq.reshape(cap_t, w_tiles, tile_n).sum(axis=-1)
-            cum_t = jnp.cumsum(tile_sums, axis=-1)
-            base_slot = (cum_t - tile_sums).reshape(-1)
-            q_tot = cum_t[:, -1]
+            cum_in = jnp.cumsum(wq, axis=-1)
+            q_tot = cum_in[:, -1]
             inv_slot = 1.0 / q_tot.astype(jnp.float32)
             offs_slot = offs[fids]
             wq_rows = wq.reshape(1, cap_t * np_)
+            cum_rows = cum_in.reshape(1, cap_t * np_)
             if stage == 2:
                 # Fold the boundary build into the output without
                 # running pass A (keep XLA from DCE'ing it).
-                resampled = p_flat + 0.0 * base_slot[0]
+                resampled = p_flat + 0.0 * cum_rows[0, 0]
 
+        g_a = 1
+        for d in range(w_tiles, 0, -1):
+            if w_tiles % d == 0 and d * tile_n <= 16384:
+                g_a = d
+                break
+        wcells = w_tiles // g_a
         if stage >= 3:
             tc, cnt = pl.pallas_call(
                 functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
-                                  w_tiles=w_tiles),
+                                  w_tiles=w_tiles, g_a=g_a,
+                                  tile_n=tile_n),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=5,
-                    grid=(cap_t, w_tiles),
+                    num_scalar_prefetch=4,
+                    grid=(cap_t, wcells),
                     in_specs=[
-                        pl.BlockSpec((3, tile_n),
+                        pl.BlockSpec((3, g_a * tile_n),
                                      lambda c, w, fids, *_: (
-                                         0, fids[c] * w_tiles + w),
+                                         0, fids[c] * wcells + w),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((1, tile_n),
-                                     lambda c, w, *_: (0, c * w_tiles + w),
+                        pl.BlockSpec((1, g_a * tile_n),
+                                     lambda c, w, *_: (0, c * wcells + w),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, g_a * tile_n),
+                                     lambda c, w, *_: (0, c * wcells + w),
                                      memory_space=pltpu.VMEM),
                     ],
                     out_specs=[
-                        pl.BlockSpec((15, t_k),
-                                     lambda c, w, *_: (0, c * w_tiles + w),
+                        pl.BlockSpec((15, g_a * t_k),
+                                     lambda c, w, *_: (0, c * wcells + w),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec(memory_space=pltpu.SMEM),
                     ],
@@ -139,8 +148,8 @@ def staged_step(cfg, state, key, seed, stage, tile_n=1024, w_b=12):
                                          jnp.bfloat16),
                     jax.ShapeDtypeStruct((1, cap_t * w_tiles), jnp.int32),
                 ],
-            )(fids, base_slot.astype(jnp.float32), inv_slot,
-              offs_slot, valid_slot, p_flat, wq_rows)
+            )(fids, inv_slot, offs_slot, valid_slot, p_flat,
+              wq_rows, cum_rows)
             cnt = cnt[0]
             if stage == 3:
                 resampled = p_flat + 0.0 * tc[0, :1].astype(jnp.float32)
@@ -155,7 +164,8 @@ def staged_step(cfg, state, key, seed, stage, tile_n=1024, w_b=12):
             valid_out = (ot // w_tiles) < n_fire
             sb, span, need, blk_ids = skip_table(
                 cnt, tc15t, t_k, wb2, w_b, q0, q1, valid_out,
-                slot_params=(w_tiles * nw, stride, np_ + 1, _SLOT_MOD))
+                slot_params=(w_tiles * nw, stride, np_ + 1, _SLOT_MOD),
+                grid_params=(w_tiles, tile_n, cap_t * w_tiles))
             if stage == 4:
                 resampled = p_flat + 0.0 * (sb[:1].astype(jnp.float32)
                                             + span[:1].astype(jnp.float32))

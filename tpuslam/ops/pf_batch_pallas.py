@@ -566,10 +566,11 @@ def pf_batch_wide_init(cfg: PfConfig, batch: int, tile_n: int = 1024,
         lse=lse, lse2=lse, x_est=jnp.tile(x0[None], (batch, 1)))
 
 
-def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
-                         valid_ref, p_ref, wq_ref, out_ref, cnt_ref, *,
-                         t_k: int, n: int, w_tiles: int):
-    """Pass A, grid (CAP, W): per-(firing-slot, tile) boundary + compact.
+def _wide_compact_kernel(fids_ref, inv_ref, offs_ref,
+                         valid_ref, p_ref, wq_ref, cum_ref, out_ref,
+                         cnt_ref, *, t_k: int, n: int, w_tiles: int,
+                         g_a: int, tile_n: int):
+    """Pass A, grid (CAP, W/G): per-firing-slot boundary + compact.
 
     The grid runs over compacted FIRING-FILTER SLOTS, not filters: slot
     ``c`` reads filter ``fids[c]``'s tiles through the prefetched index
@@ -578,6 +579,17 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
     dominant cost at B >= 1024).  Padded slots (``c >= n_fire``) read
     filter 0 harmlessly and write ``cnt = 0``, which excludes their
     window blocks from the skip table.
+
+    Each cell covers ``g_a`` consecutive resample tiles (unrolled): the
+    one-tile-per-cell grid paid ~1 us/cell of fixed cost x 10,240 cells
+    at 1024x10k (scripts/tpu_wide_profile4.py stage 3, ~10.8 ms/step).
+    The weight prefix arrives PRECOMPUTED from XLA (``cum_ref``, the
+    exact integer cumsum of the quantized weights - bit-identical to
+    any in-kernel build; integer partial sums < 2**24 are exact in any
+    order).  Keeping it in-kernel was measured and lost: the
+    hierarchical split-triangular build costs ~3 ms/step untiered and
+    a lane-roll scan ~5 ms (scripts/tpu_passa_ablate.py, STATUS.md
+    round 3), vs ~0.35 ms for the XLA cumsum.
 
     Boundaries are stored with a ``(c % _SLOT_MOD) * (np_ + 1)`` slot
     key (see :func:`tile_boundary_compact`'s ``key_offset``): a pass-B
@@ -595,29 +607,36 @@ def _wide_compact_kernel(fids_ref, base_ref, inv_ref, offs_ref,
     from tpuslam.ops.resample_pallas import tile_boundary_compact
 
     c = pl.program_id(0)
-    w = pl.program_id(1)
-    t_in = wq_ref.shape[1]
-    sid = c * w_tiles + w
+    wc = pl.program_id(1)
     koff = ((c % _SLOT_MOD).astype(jnp.float32)
-            * jnp.float32(w_tiles * t_in + 1))
+            * jnp.float32(w_tiles * tile_n + 1))
+    live = valid_ref[c] > 0
+    # Tile-invariant one-hot row index, built once per cell.
+    krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, tile_n), 0)
+            .astype(jnp.float32))
 
-    @pl.when(valid_ref[c] > 0)
-    def _go():
-        out, cnt = tile_boundary_compact(
-            wq_ref[0:1, :], p_ref[:, :], base_ref[sid], inv_ref[c],
-            offs_ref[c], w * t_in, n, t_k, key_offset=koff)
-        out_ref[:, :] = out
-        cnt_ref[0, sid] = cnt.astype(jnp.int32)
+    for u in range(g_a):
+        w = wc * g_a + u
+        sid = c * w_tiles + w
+        sl = slice(u * tile_n, (u + 1) * tile_n)
 
-    @pl.when(valid_ref[c] <= 0)
-    def _skip():
-        cnt_ref[0, sid] = 0
+        @pl.when(live)
+        def _go(w=w, sid=sid, sl=sl, u=u):
+            out, cnt = tile_boundary_compact(
+                wq_ref[0:1, sl], p_ref[:, sl], None, inv_ref[c],
+                offs_ref[c], w * tile_n, n, t_k, key_offset=koff,
+                cum_in=cum_ref[0:1, sl], krow=krow)
+            out_ref[:, u * t_k:(u + 1) * t_k] = out
+            cnt_ref[0, sid] = cnt.astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(live))
+        def _skip(sid=sid):
+            cnt_ref[0, sid] = 0
 
 
-def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
-                       p_out_ref, lw_out_ref, part_ref, *,
-                       cfg: PfConfig, noise_on: bool, c_cells: int,
-                       np8: int, sub_rows: int):
+def _wide_stats_kernel(*refs, cfg: PfConfig, noise_on: bool,
+                       c_cells: int, np8: int, sub_rows: int,
+                       fused: bool = False):
     """Pass C, grid (B, C): predict + weight + per-chunk partials.
 
     The wide twin of the single-filter ``_pf_stats_kernel``: each grid
@@ -628,7 +647,25 @@ def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
     best x/y/yaw) into its stride of ``part_ref``; the per-filter
     logsumexp/argmax combine over the C chunks runs in XLA
     (:func:`_combine_wide_stats`).
+
+    ``fused`` adds the resample merge the XLA glue used to do: a
+    prefetched per-filter slot map ``src`` routes each cell to its
+    filter's block of the expand kernel's PACKED output (see
+    :func:`tpuslam.ops.resample_pallas.expand_compacted` ``out3d``),
+    and a per-filter fire flag selects expanded-vs-carried particles
+    and resets weights in-register - replacing the take / fire-lane
+    where / uniform-weight tile / re-pack transposes (each a full pass
+    over the 126 MB particle set at 1024x10k).  Bit-exact: the same
+    expanded values and the same uniform weights reach the same
+    predict, in the same packed lane order.
     """
+    if fused:
+        (src_ref, seed_ref, flag_ref, fire_ref, z_ref, p_in_ref,
+         lw_in_ref, exp_ref, p_out_ref, lw_out_ref, part_ref) = refs
+    else:
+        (seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
+         p_out_ref, lw_out_ref, part_ref) = refs
+        src_ref = fire_ref = exp_ref = None
     f = pl.program_id(0)
     g = pl.program_id(1)
     n = cfg.num_particles
@@ -638,12 +675,37 @@ def _wide_stats_kernel(seed_ref, flag_ref, z_ref, p_in_ref, lw_in_ref,
         pltpu.prng_seed(seed_ref[0] + f * c_cells + g)
 
     lw_in = lw_in_ref[:, :]  # (R, C8); R=1 is the flat layout
+    px = p_in_ref[0:r, :]
+    py = p_in_ref[r:2 * r, :]
+    pyaw = p_in_ref[2 * r:3 * r, :]
+    if fused:
+        fire_f = fire_ref[f] > 0.0
+        if r > 1:
+            ex0, ex1, ex2 = exp_ref[0], exp_ref[1], exp_ref[2]
+        else:
+            ex0 = exp_ref[0:1, :]
+            ex1 = exp_ref[1:2, :]
+            ex2 = exp_ref[2:3, :]
+
+        def fsel(a, b):
+            # Explicit broadcast + select: a scalar-pred jnp.where here
+            # trips a jax mlir closed_call lowering-cache KeyError when
+            # the fused and unfused pass-C variants share one program.
+            return jax.lax.select(jnp.broadcast_to(fire_f, a.shape),
+                                  a, b)
+
+        px = fsel(ex0, px)
+        py = fsel(ex1, py)
+        pyaw = fsel(ex2, pyaw)
+        # Uniform restart: 0 on every lane; the lane-validity mask
+        # below sends the padding lanes to -inf exactly like the old
+        # XLA uniform row did before the add.
+        lw_in = fsel(jnp.zeros_like(lw_in), lw_in)
     lw_in = jnp.where(flag_ref[f] > 0.0, 0.0, lw_in)
 
     zget = lambda li, c: z_ref[0, 2 * li + c]  # noqa: E731
     x, y, yaw, acc = _predict_loglik(
-        cfg, z_ref, p_in_ref[0:r, :], p_in_ref[r:2 * r, :],
-        p_in_ref[2 * r:3 * r, :], noise_on, z_get=zget)
+        cfg, z_ref, px, py, pyaw, noise_on, z_get=zget)
     lw = lw_in + acc
 
     # Flat per-filter particle index (pack_batch_rows order: plane row
@@ -826,9 +888,10 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                    else state.log_w)
         lw2 = lw_flat.reshape(b, np_)
 
-        def xla_path(_):
+        def xla_slots(_):
             # All-filter decode: the overflow fallback (cnt/w_b guard
             # failed).  O(B*N); correctness oracle for the kernel tiers.
+            # FILTER-indexed output (src = identity), so no take needed.
             w_rows = jnp.exp(lw2 - state.lse[:, None])
 
             def one(wr, of):
@@ -841,7 +904,9 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
             taken = jnp.take_along_axis(
                 p3, idxs[None, :, :], axis=2)  # (3, B, n)
             out = out.at[:, :, :n].set(taken)
-            return out.reshape(3, b * np_)
+            out = (out.reshape(3, b * r, np8) if r > 1
+                   else out.reshape(3, b * np_))
+            return out, jnp.arange(b, dtype=jnp.int32)
 
         def fire_tier(cap_t: int):
             """Kernel resample serving <= cap_t firing slots.
@@ -865,36 +930,51 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                 w_sel = jnp.exp(lw2[fids] - state.lse[fids][:, None])
                 total = jnp.sum(w_sel, axis=-1, keepdims=True)
                 wq = quantize_weights_law(w_sel, total)  # (cap_t, np_)
-                tile_sums = wq.reshape(cap_t, w_tiles, tile_n).sum(axis=-1)
-                cum_t = jnp.cumsum(tile_sums, axis=-1)
-                base_slot = (cum_t - tile_sums).reshape(-1)  # (CAP*W,)
-                q_tot = cum_t[:, -1]
+                # Exact integer prefix (total 2^20 < 2^24: any-order
+                # f32 sums are exact, bit-matching an in-kernel build).
+                cum_in = jnp.cumsum(wq, axis=-1)
+                q_tot = cum_in[:, -1]
                 inv_slot = 1.0 / q_tot.astype(jnp.float32)
                 offs_slot = offs[fids]
                 wq_rows = wq.reshape(1, cap_t * np_)
+                cum_rows = cum_in.reshape(1, cap_t * np_)
 
-                # --- pass A: compact (slots only) -----------------------
+                # --- pass A: compact (slots only), chunked cells --------
+                # Wider cells than pass C (16k lanes vs 8k): pass A has
+                # no r-packed carry blocks, so VMEM stays small and the
+                # ~1 us/cell fixed cost halves again.
+                g_a = 1
+                for d in range(w_tiles, 0, -1):
+                    if w_tiles % d == 0 and d * tile_n <= 16384:
+                        g_a = d
+                        break
+                wcells = w_tiles // g_a
                 tc, cnt = pl.pallas_call(
                     functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
-                                      w_tiles=w_tiles),
+                                      w_tiles=w_tiles, g_a=g_a,
+                                      tile_n=tile_n),
                     grid_spec=pltpu.PrefetchScalarGridSpec(
-                        num_scalar_prefetch=5,
-                        grid=(cap_t, w_tiles),
+                        num_scalar_prefetch=4,
+                        grid=(cap_t, wcells),
                         in_specs=[
                             pl.BlockSpec(
-                                (3, tile_n),
+                                (3, g_a * tile_n),
                                 lambda c, w, fids, *_: (
-                                    0, fids[c] * w_tiles + w),
+                                    0, fids[c] * wcells + w),
                                 memory_space=pltpu.VMEM),
                             pl.BlockSpec(
-                                (1, tile_n),
-                                lambda c, w, *_: (0, c * w_tiles + w),
+                                (1, g_a * tile_n),
+                                lambda c, w, *_: (0, c * wcells + w),
+                                memory_space=pltpu.VMEM),
+                            pl.BlockSpec(
+                                (1, g_a * tile_n),
+                                lambda c, w, *_: (0, c * wcells + w),
                                 memory_space=pltpu.VMEM),
                         ],
                         out_specs=[
                             pl.BlockSpec(
-                                (15, t_k),
-                                lambda c, w, *_: (0, c * w_tiles + w),
+                                (15, g_a * t_k),
+                                lambda c, w, *_: (0, c * wcells + w),
                                 memory_space=pltpu.VMEM),
                             pl.BlockSpec(memory_space=pltpu.SMEM),
                         ],
@@ -906,8 +986,8 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                                              jnp.int32),
                     ],
                     interpret=interpret,
-                )(fids, base_slot.astype(jnp.float32), inv_slot,
-                  offs_slot, valid_slot, p_flat, wq_rows)
+                )(fids, inv_slot, offs_slot, valid_slot, p_flat,
+                  wq_rows, cum_rows)
                 cnt = cnt[0]
 
                 # --- skip table over slot space: the shared
@@ -915,18 +995,23 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                 # strips the per-slot key offset and stratifies the
                 # searchsorted by (slot * stride) so one table serves
                 # all firing filters ------------------------------------
+                # Output tiles follow the PACKED plane rows (t_out =
+                # np8) when the carry is packed, so pass C can fetch a
+                # filter's whole plane as one block (fused merge).
                 tc15t = jnp.concatenate([tc, inert_tail(n, w_b, wb2)],
                                         axis=1)
                 stride = np_ + 1  # > any local slot id or boundary
-                ot = jnp.arange(cap_t * w_tiles, dtype=jnp.int32)
-                i0_loc = (ot % w_tiles) * tile_n
-                q0 = (ot // w_tiles) * stride + i0_loc
-                q1 = q0 + tile_n - 1
-                valid_out = (ot // w_tiles) < n_fire
+                gp_w, tile_q = (r, np8) if r > 1 else (w_tiles, tile_n)
+                ot = jnp.arange(cap_t * gp_w, dtype=jnp.int32)
+                i0_loc = (ot % gp_w) * tile_q
+                q0 = (ot // gp_w) * stride + i0_loc
+                q1 = q0 + tile_q - 1
+                valid_out = (ot // gp_w) < n_fire
                 sb, span, need, blk_ids = skip_table(
                     cnt, tc15t, t_k, wb2, w_b, q0, q1, valid_out,
                     slot_params=(w_tiles * nw, stride, np_ + 1,
-                                 _SLOT_MOD))
+                                 _SLOT_MOD),
+                    grid_params=(gp_w, tile_q, cap_t * gp_w))
                 ok = ((n_fire <= cap_t) & (jnp.max(cnt) <= t_k)
                       & (jnp.max(need) <= w_b))
 
@@ -935,47 +1020,48 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                     # Output indices carry the same slot key as the
                     # stored boundaries, so foreign-slot blocks
                     # self-mask.
-                    i0_key = (((ot // w_tiles) % _SLOT_MOD) * (np_ + 1)
+                    i0_key = (((ot // gp_w) % _SLOT_MOD) * (np_ + 1)
                               + i0_loc)
-                    out = expand_compacted(tc15t, sb, span, blk_ids,
-                                           i0_key, cap_t * np_, tile_n,
-                                           wb2, w_b, interpret=interpret)
-                    rs3 = out.reshape(3, cap_t, np_)
-                    src = jnp.clip(pos, 0, cap_t - 1)
-                    return jnp.take(rs3, src, axis=1).reshape(3, b * np_)
+                    out = expand_compacted(
+                        tc15t, sb, span, blk_ids, i0_key, cap_t * np_,
+                        tile_q, wb2, w_b, interpret=interpret,
+                        n_alloc_pad=b * np_)
+                    if r > 1:
+                        out = out.reshape(3, b * r, np8)  # free bitcast
+                    return out, jnp.clip(pos, 0, b - 1)
 
-                return jax.lax.cond(ok, kernel_path, xla_path, 0)
+                return jax.lax.cond(ok, kernel_path, xla_slots, 0)
             return go
 
+        # Tiered dispatch: the typical burst fits cap_small and pays
+        # O(cap_small * N); moderate bursts take a 2x middle tier; the
+        # rare large burst (firing is correlated across filters) takes
+        # the full-cap tier.  Measured at the 1024x10k default gate:
+        # p50 burst 214, p90 289, max 845 - 17/95 firing steps exceed
+        # cap_small=256 but only 2/95 exceed 512, so the middle tier
+        # halves the tail cost (~1.9 ms/step).  All branches close over
+        # CARRIED scan state only (particles / log_w / lse), which this
+        # platform's lax.cond handles at full speed (CLAUDE.md: conds
+        # over carried state are free; conds over large scan-invariant
+        # captures are not).
+        cap_mid = min(cap, 2 * cap_small)
+        if cap_small < cap_mid < cap:
+            def upper(a):
+                return jax.lax.cond(n_fire <= cap_mid,
+                                    fire_tier(cap_mid),
+                                    fire_tier(cap), a)
+
+            return jax.lax.cond(n_fire <= cap_small,
+                                fire_tier(cap_small), upper, 0)
         if cap_small < cap:
-            # Two-tier dispatch: the typical burst fits cap_small and
-            # pays O(cap_small * N); the rare large burst (firing is
-            # correlated across filters) takes the full-cap tier.  Both
-            # branches close over CARRIED scan state only (particles /
-            # log_w / lse), which this platform's lax.cond handles at
-            # full speed (CLAUDE.md: conds over carried state are free;
-            # conds over large scan-invariant captures are not).
-            resampled = jax.lax.cond(n_fire <= cap_small,
-                                     fire_tier(cap_small),
-                                     fire_tier(cap), 0)
-        else:
-            resampled = fire_tier(cap)(0)
-        fire_lane = jnp.repeat(fire, np_)[None, :]
-        particles_in = jnp.where(fire_lane, resampled, p_flat)
-        lane_valid = (jnp.arange(np_) < n)
-        uni = jnp.where(lane_valid, 0.0, -jnp.inf)[None, :]
-        lw_in = jnp.where(fire_lane, jnp.tile(uni, (1, b)), lw_flat)
-        if r > 1:
-            return (pack_batch_rows(particles_in, b, r),
-                    pack_batch_rows(lw_in, b, r))
-        return particles_in, lw_in
+            return jax.lax.cond(n_fire <= cap_small,
+                                fire_tier(cap_small),
+                                fire_tier(cap), 0)
+        return fire_tier(cap)(0)
 
-    def no_fire_path(_):
-        return state.particles, state.log_w
-
-    particles_in, lw_in = jax.lax.cond(n_fire > 0, fire_path,
-                                       no_fire_path, 0)
     flag = jnp.where(bad & ~fire, 1.0, 0.0)
+    fire_arr = fire.astype(jnp.float32)
+    seed_arr = jnp.asarray([seed], jnp.int32)
 
     # --- pass C: predict + weight + stats ------------------------------
     # Chunked grid: each cell covers G consecutive resample tiles (up
@@ -988,35 +1074,101 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
             break
     c_cells = w_tiles // g_tiles
     c8 = g_tiles * t8
-    p_out, lw_out, st = pl.pallas_call(
-        functools.partial(_wide_stats_kernel, cfg=cfg, noise_on=noise_on,
-                          c_cells=c_cells, np8=np8, sub_rows=r),
-        grid=(b, c_cells),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 128), lambda f, g: (0, f),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((3 * r, c8), lambda f, g: (0, f * c_cells + g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, c8), lambda f, g: (0, f * c_cells + g),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=(
-            jax.ShapeDtypeStruct((3 * r, b * np8), jnp.float32),
-            jax.ShapeDtypeStruct((r, b * np8), jnp.float32),
-            jax.ShapeDtypeStruct((1, 8 * b * c_cells), jnp.float32),
-        ),
-        out_specs=(
-            pl.BlockSpec((3 * r, c8), lambda f, g: (0, f * c_cells + g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, c8), lambda f, g: (0, f * c_cells + g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        input_output_aliases={3: 0, 4: 1},
-        interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), flag, z_rows, particles_in, lw_in)
+    out_shape = (
+        jax.ShapeDtypeStruct((3 * r, b * np8), jnp.float32),
+        jax.ShapeDtypeStruct((r, b * np8), jnp.float32),
+        jax.ShapeDtypeStruct((1, 8 * b * c_cells), jnp.float32),
+    )
+
+    def run_stats(fire_in=None):
+        """Pass C; with ``fire_in=(expanded, src)`` the resample merge
+        happens in-kernel (fused) instead of via XLA glue."""
+        kfn = functools.partial(
+            _wide_stats_kernel, cfg=cfg, noise_on=noise_on,
+            c_cells=c_cells, np8=np8, sub_rows=r,
+            fused=fire_in is not None)
+        if fire_in is None:
+            return pl.pallas_call(
+                kfn,
+                grid=(b, c_cells),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 128), lambda f, g: (0, f),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((3 * r, c8),
+                                 lambda f, g: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, c8),
+                                 lambda f, g: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=out_shape,
+                out_specs=(
+                    pl.BlockSpec((3 * r, c8),
+                                 lambda f, g: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, c8),
+                                 lambda f, g: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ),
+                input_output_aliases={3: 0, 4: 1},
+                interpret=interpret,
+            )(seed_arr, flag, z_rows, state.particles, state.log_w)
+        expanded, src = fire_in
+        if r > 1:
+            exp_spec = pl.BlockSpec(
+                (3, r, c8), lambda f, g, src: (0, src[f], g),
+                memory_space=pltpu.VMEM)
+        else:
+            exp_spec = pl.BlockSpec(
+                (3, c8), lambda f, g, src: (0, src[f] * c_cells + g),
+                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kfn,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, c_cells),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 128), lambda f, g, src: (0, f),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((3 * r, c8),
+                                 lambda f, g, src: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, c8),
+                                 lambda f, g, src: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    exp_spec,
+                ],
+                out_specs=(
+                    pl.BlockSpec((3 * r, c8),
+                                 lambda f, g, src: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((r, c8),
+                                 lambda f, g, src: (0, f * c_cells + g),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ),
+            ),
+            out_shape=out_shape,
+            input_output_aliases={5: 0, 6: 1},
+            interpret=interpret,
+        )(src, seed_arr, flag, fire_arr, z_rows, state.particles,
+          state.log_w, expanded)
+
+    def with_resample(_):
+        expanded, src = fire_path(0)
+        return run_stats((expanded, src))
+
+    def without_resample(_):
+        return run_stats()
+
+    p_out, lw_out, st = jax.lax.cond(n_fire > 0, with_resample,
+                                     without_resample, 0)
 
     st = _combine_wide_stats(st, b, c_cells)
     lse, lse2 = st[:, 0], st[:, 1]

@@ -232,45 +232,62 @@ def _compact_kernel(vals_ref, g_ref, f_ref, out_ref, *, t_k: int):
     out_ref[:, :] = jnp.where(live, compact.astype(jnp.bfloat16), fill)
 
 
-def _expand_kernel(sb_ref, span_ref, blk_ref, i0_ref, tc_ref, out_ref,
-                   *, t_out: int, wb2: int):
-    """Pass 2: windowed run-length expansion, one window block per step.
+def _expand_kernel(sb_ref, span_ref, blk_ref, i0_ref, *refs,
+                   t_out: int, wb2: int, w_b: int):
+    """Pass 2: windowed run-length expansion, ALL windows in one step.
 
     Window lane u covers output slots ``[t_lo_u, t_hi_u)`` (both read
     from the block's own rows - no cross-lane chaining, no carry, no
     roll: every lane's interval is local, so the grid has no sequential
     dependency).  ``M[i, u] = (t_lo_u <= i < t_hi_u)`` selects lane u
-    for slot ``i`` and ``vals @ M^T`` accumulates into the revisited
-    output block (same dot orientation as pass 1), with the bf16 split
-    rows recombined exactly in f32.  Inert lanes (garbage fills,
-    survivors outside the tile's slot range) self-mask: their intervals
-    are empty or disjoint from the tile.
+    for slot ``i`` and ``vals @ M^T`` accumulates into the output block
+    (same dot orientation as pass 1), with the bf16 split rows
+    recombined exactly in f32.  Inert lanes (garbage fills, survivors
+    outside the tile's slot range) self-mask: their intervals are empty
+    or disjoint from the tile.
+
+    The ``w_b`` window blocks arrive as ``w_b`` SEPARATE input refs of
+    the same compacted stack (index maps ``blk[sb[b] + w]``) so one
+    grid step serves the whole output tile: the previous
+    ``(nt_out, w_b)`` grid paid the ~0.15 us per-cell fixed cost on
+    every (tile, window) pair - ~18 ms/step of pure grid overhead at
+    the wide-PF 1024x10k scale (122,880 cells, most skipped;
+    scripts/tpu_wide_profile4.py stage 5) - while the accumulation
+    itself only runs for ``span[b]`` windows either way.
     """
+    tc_refs, out_ref = refs[:-1], refs[-1]
     b = pl.program_id(0)
-    w = pl.program_id(1)
 
-    @pl.when(w == 0)
-    def _reset():
-        out_ref[:, :] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    def store(v, accum=False):
+        if accum:
+            out_ref[:, :] += v
+        else:
+            out_ref[:, :] = v
 
-    @pl.when(w < span_ref[b])
-    def _accumulate():
-        t_hi = (tc_ref[9:10, :].astype(jnp.float32)
-                + tc_ref[10:11, :].astype(jnp.float32)
-                + tc_ref[11:12, :].astype(jnp.float32))  # (1, wb2)
-        t_lo = (tc_ref[12:13, :].astype(jnp.float32)
-                + tc_ref[13:14, :].astype(jnp.float32)
-                + tc_ref[14:15, :].astype(jnp.float32))
-        i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
-             + i0_ref[b]).astype(jnp.float32)
-        m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            tc_ref[0:9, :], m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (9, t_out) f32
-        # Variable-major rows: x = 0+1+2, y = 3+4+5, yaw = 6+7+8.
-        out_ref[:, :] += jnp.concatenate(
-            [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
-             + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0)
+    store(jnp.zeros((3, t_out), out_ref.dtype))
+    span = span_ref[b]
+    i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
+         + i0_ref[b]).astype(jnp.float32)
+
+    for w in range(w_b):
+
+        @pl.when(span > w)
+        def _accumulate(tc_ref=tc_refs[w]):
+            t_hi = (tc_ref[9:10, :].astype(jnp.float32)
+                    + tc_ref[10:11, :].astype(jnp.float32)
+                    + tc_ref[11:12, :].astype(jnp.float32))  # (1, wb2)
+            t_lo = (tc_ref[12:13, :].astype(jnp.float32)
+                    + tc_ref[13:14, :].astype(jnp.float32)
+                    + tc_ref[14:15, :].astype(jnp.float32))
+            m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                tc_ref[0:9, :], m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (9, t_out) f32
+            # Variable-major rows: x = 0+1+2, y = 3+4+5, yaw = 6+7+8.
+            store(jnp.concatenate(
+                [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
+                 + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0),
+                accum=True)
 
 
 def compact_particles(p_rows, t_row, tprev, f_row, g_row, t_in: int,
@@ -317,7 +334,7 @@ def inert_tail(n: int, w_b: int, wb2: int):
 
 
 def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
-               valid, slot_params=None):
+               valid, slot_params=None, grid_params=None):
     """Build the compressed window-block table + per-output-tile runs.
 
     Window-block occupancy follows from the per-tile survivor counts:
@@ -343,6 +360,15 @@ def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
             and replaced by the globally-sorted ``slot * stride`` key
             (int32 - exact past the f32 2^24 bound at large
             ``cap * np_``).
+        grid_params: optional ``(w_tiles, tile_q, n_out)`` declaring
+            the query arrays REGULAR: ``i0[i] = (i // w_tiles) * stride
+            + (i % w_tiles) * tile_q`` and ``i_last = i0 + tile_q - 1``
+            for ``i < n_out`` (requires ``slot_params``).  Then each
+            key's rank among the queries has a CLOSED FORM, so the two
+            ``searchsorted`` calls (linear in queries - ~2.8 ms at the
+            wide-PF 1024x10k scale's 10,240 output tiles) collapse to
+            per-key O(1) arithmetic + two small histogram scatter-adds,
+            bit-identical to ``side="right"`` on the (sorted) keys.
 
     Returns:
         ``(sb, span, need, blk_ids)``: per-tile start index into
@@ -377,10 +403,32 @@ def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
                          (blk_slot % key_mod) * key_spacing, 0)
         bkey = blk_slot * stride + tb_last.astype(jnp.int32) - koff
         q0, q1 = i0, i_last
-    sb_raw = jnp.searchsorted(bkey, q0,
+    if grid_params is not None:
+        # #keys <= q (= searchsorted side="right" on the sorted keys)
+        # via the duality rank[i] = #j: m_j <= i, where m_j = #queries
+        # strictly below key j - O(1) per key on the regular grid.
+        w_tiles_q, tile_q, n_out = grid_params
+        stride = slot_params[1]
+
+        def count_le(v):
+            # #i in [0, n_out): q0[i] <= v (exact for any int32 v).
+            slot = jnp.floor_divide(v, stride)
+            loc = v - slot * stride
+            wcnt = jnp.minimum(jnp.floor_divide(loc, tile_q) + 1,
+                               w_tiles_q)
+            return jnp.clip(slot * w_tiles_q + wcnt, 0, n_out)
+
+        m0 = count_le(bkey - 1)       # #i: q0[i] <  k_j
+        m1 = count_le(bkey - tile_q)  # #i: q1[i] <  k_j
+        h0 = jnp.zeros((n_out + 1,), jnp.int32).at[m0].add(1)
+        h1 = jnp.zeros((n_out + 1,), jnp.int32).at[m1].add(1)
+        sb_raw = jnp.cumsum(h0)[:n_out]
+        le = jnp.cumsum(h1)[:n_out]
+    else:
+        sb_raw = jnp.searchsorted(bkey, q0,
+                                  side="right").astype(jnp.int32)
+        le = jnp.searchsorted(bkey, q1,
                               side="right").astype(jnp.int32)
-    le = jnp.searchsorted(bkey, q1,
-                          side="right").astype(jnp.int32)
     sb = jnp.clip(sb_raw, 0, n_blk - w_b)
     span = jnp.clip(le - sb + 1, 1, w_b)
     need = jnp.where(valid, le - sb_raw + 1, 1)
@@ -389,27 +437,107 @@ def skip_table(cnt, tc15, t_k: int, wb2: int, w_b: int, i0, i_last,
 
 def expand_compacted(tc15, sb, span, blk_ids, i0, n_out_pad: int,
                      t_out: int, wb2: int, w_b: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     n_alloc_pad: int | None = None):
     """Pass-2 call: expand the compacted stack into ``(3, n_out_pad)``
     f32 output slots, tile b covering ``[i0[b], i0[b] + t_out)`` in
-    global slot space (slots outside every lane's interval stay 0)."""
+    global slot space (slots outside every lane's interval stay 0).
+
+    The same stack is passed ``w_b`` times so each grid step fetches
+    its whole window run through per-ref index maps (see
+    :func:`_expand_kernel` for why the grid has no window axis).
+
+    When the caller picks ``t_out`` = the packed plane width (``np8``),
+    tile b IS packed sublane row ``b % r`` of filter slot ``b // r``,
+    so a downstream kernel can view the output as ``(3, nt, np8)``
+    (free row-major reshape) and fetch a filter's whole packed plane as
+    one ``(3, r, c8)`` block - the XLA take / where / re-pack glue
+    between expand and the stats pass disappears (~1.2 ms/firing step
+    at 1024x10k, tier-independent).
+
+    ``n_alloc_pad`` (default ``n_out_pad``) sizes the ALLOCATED output
+    past the written grid - tiers of different firing caps then share
+    one output shape (unwritten blocks are garbage the caller must
+    never select)."""
     nt_out = n_out_pad // t_out
+    na = (n_alloc_pad if n_alloc_pad is not None else n_out_pad) // t_out
+
+    def tc_spec(w):
+        return pl.BlockSpec(
+            (_ROWS, wb2),
+            lambda b, sb, span, blk, i0, w=w: (0, blk[sb[b] + w]),
+            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec(
+        (3, t_out), lambda b, sb, span, blk, i0: (0, b),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((3, na * t_out), jnp.float32)
+
     return pl.pallas_call(
-        functools.partial(_expand_kernel, t_out=t_out, wb2=wb2),
+        functools.partial(_expand_kernel, t_out=t_out, wb2=wb2, w_b=w_b),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(nt_out, w_b),
-            in_specs=[pl.BlockSpec(
-                (_ROWS, wb2),
-                lambda b, w, sb, span, blk, i0: (0, blk[sb[b] + w]),
-                memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(
-                (3, t_out), lambda b, w, sb, span, blk, i0: (0, b),
-                memory_space=pltpu.VMEM),
+            grid=(nt_out,),
+            in_specs=[tc_spec(w) for w in range(w_b)],
+            out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, n_out_pad), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(sb, span, blk_ids, i0, tc15)
+    )(sb, span, blk_ids, i0, *([tc15] * w_b))
+
+
+def _hprefix_exact(parts, t_in: int):
+    """Strict (exclusive) prefix of one row of exact integers.
+
+    ``parts`` are ``(1, t_in)`` bf16 split parts whose f32 sum is the
+    row - a single 0/1 flag row, or a :func:`split3_kernel` hi/mid/lo
+    triple.  When ``t_in`` is a multiple of 128 the prefix runs
+    hierarchically: reshape to ``(t_in//128, 128)`` sublane rows
+    (row-major - bit-identical lane order), one 128-wide triangular
+    matmul per split part, then a Hillis-Steele log-step prefix over
+    the sublane axis (full-lane ``(s, 128)`` concats only - Mosaic
+    rejects concats of scalar slices, and a lane-roll scan measured
+    SLOWER than this: 10.6 vs 8.8 ms/step on the 1024x10k wide PF,
+    scripts/tpu_passa_ablate.py / STATUS.md round 3).  Bit-exact vs
+    the flat triangular: every partial sum of integers < 2**24 is
+    exact in f32 in any order.
+
+    Returns the ``(1, t_in)`` f32 exclusive prefix.
+    """
+    k = len(parts)
+    if t_in % 128 == 0 and t_in > 128:
+        sub = t_in // 128
+        p8 = [p.reshape(sub, 128) for p in parts]
+        lt = _strict_lt(128)
+        exs = jax.lax.dot_general(
+            jnp.concatenate(p8, axis=0), lt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (k*sub, 128)
+        ex = exs[0:sub]
+        for j in range(1, k):
+            ex = ex + exs[j * sub:(j + 1) * sub]
+        last = p8[0][:, 127:128].astype(jnp.float32)
+        for j in range(1, k):
+            last = last + p8[j][:, 127:128].astype(jnp.float32)
+        # Inclusive row totals, replicated across lanes (f32 exact
+        # integers), then the log-step prefix over the sublane axis.
+        rt = jnp.broadcast_to(ex[:, 127:128] + last, (sub, 128))
+        acc = rt
+        s = 1
+        while s < sub:
+            acc = acc + jnp.concatenate(
+                [jnp.zeros((s, 128), jnp.float32), acc[:sub - s]],
+                axis=0)
+            s *= 2
+        roff = acc - rt  # exclusive row offsets (exact integer sums)
+        return (ex + roff).reshape(1, t_in)
+    lt = _strict_lt(t_in)
+    exs = jax.lax.dot_general(
+        jnp.concatenate(parts, axis=0), lt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ex = exs[0:1]
+    for j in range(1, k):
+        ex = ex + exs[j:j + 1]
+    return ex
 
 
 def _strict_lt(t_in: int, dtype=jnp.bfloat16):
@@ -420,7 +548,8 @@ def _strict_lt(t_in: int, dtype=jnp.bfloat16):
 
 
 def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
-                          t_k: int, key_offset=None):
+                          t_k: int, key_offset=None, cum_in=None,
+                          krow=None):
     """Shared tile body: boundaries from an exact prefix + compaction.
 
     Pure function of in-kernel values (usable from any grid layout - the
@@ -448,21 +577,25 @@ def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
             ``key_offset + n`` exactly representable in f32 and is a
             common shift of ``t_lo``/``t_hi`` - survivor flags and
             counts are unaffected.  ``None`` = 0 (single-filter paths).
+        cum_in: optional ``(1, t_in)`` INCLUSIVE prefix of the filter's
+            quantized weights at this tile's lanes, precomputed in XLA
+            (``jnp.cumsum`` of exact integers totalling < 2^24 is exact
+            in any order, so it bit-matches the in-kernel build).
+            Skips the in-kernel prefix entirely; ``base`` is ignored.
+        krow: optional ``(t_k, t_in)`` f32 iota over the one-hot row
+            axis, hoisted by callers whose cells unroll several tiles
+            (tile-invariant - rebuilding it per tile is pure waste).
 
     Returns:
         ``(out_block (15, t_k) bf16, cnt scalar f32)``.
     """
     t_in = wq.shape[1]
-    wh, wm, wl = split3_kernel(wq)
-    lt = _strict_lt(t_in)
-    # Prefix orientation: contracting against M's FIRST axis gives
-    # out[c] = sum_r v[r] * (r < c) - the strict (exclusive) prefix.
-    cum_ex = jax.lax.dot_general(
-        jnp.concatenate([wh, wm, wl], axis=0), lt,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    cum_ex = (cum_ex[0:1] + cum_ex[1:2] + cum_ex[2:3]) + base  # (1, t_in)
-    cum_in = cum_ex + wq  # inclusive prefix, exact
+    if cum_in is None:
+        wh, wm, wl = split3_kernel(wq)
+        cum_ex = _hprefix_exact([wh, wm, wl], t_in) + base
+        cum_in = cum_ex + wq  # inclusive prefix, exact
+    else:
+        cum_ex = cum_in - wq  # exact: both are integers < 2^24
 
     lane = (jax.lax.broadcasted_iota(jnp.int32, (1, t_in), 1) + lane0)
     nf = jnp.float32(n)
@@ -481,15 +614,18 @@ def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
     if key_offset is not None:
         t_hi = t_hi + key_offset
         t_lo = t_lo + key_offset
-    rank = jax.lax.dot_general(
-        f.astype(jnp.bfloat16), lt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # exclusive survivor rank
+    rank = _hprefix_exact([f.astype(jnp.bfloat16)],
+                          t_in)  # exclusive survivor rank
     cnt = rank[0, t_in - 1] + f[0, t_in - 1]
 
-    # Mosaic's iota is integer-only; cast after.
-    krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, t_in), 0)
-            .astype(jnp.float32))
-    sel = ((krow == rank) & (f > 0)).astype(jnp.bfloat16)
+    if krow is None:
+        # Mosaic's iota is integer-only; cast after.
+        krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, t_in), 0)
+                .astype(jnp.float32))
+    # Fold the survivor flag into the rank (-1 never matches a row),
+    # saving one (t_k, t_in) AND per tile.
+    rank_m = jnp.where(f > 0, rank, jnp.float32(-1.0))
+    sel = (krow == rank_m).astype(jnp.bfloat16)
 
     # Value stack built in-kernel: [x y yaw t_hi t_lo] x [hi mid lo].
     stack5 = jnp.concatenate([p3, t_hi, t_lo], axis=0)
