@@ -293,6 +293,12 @@ def main():
     except Exception as e:
         print(f"# PF batch bench failed: {e}", file=sys.stderr)
     try:
+        pf_rate = bench_pf_batch(batch=8192)
+        print(f"# PF (batched fused, 8192x1000): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# PF batch 8192 bench failed: {e}", file=sys.stderr)
+    try:
         pf_rate = bench_pf()
         print(f"# PF (xla scan): {pf_rate:.3e} particle-steps/s/chip",
               file=sys.stderr)

@@ -667,6 +667,31 @@ class TestPfBatchKernel:
         np.testing.assert_array_equal(np.asarray(o4.ess),
                                       np.asarray(o1.ess))
 
+    def test_compact_cap_is_pure_scheduling(self):
+        """compact_cap (the compact-then-expand firing path's survivor
+        cap) is a pure scheduling knob: cap=0 (direct (P, P) interval
+        expansion), a roomy cap (fast path taken), and a tiny cap (the
+        overflow fallback predicate trips) produce bit-identical
+        rollouts.  ess_threshold_frac=2.0 forces the gate every step so
+        the resample branches actually run (noise-free here; the noisy
+        on-chip equality is scripts/tpu_pf_batch_compact.py)."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_rollout
+
+        cfg = PfConfig(num_particles=200, weight_mode="log",
+                       ess_threshold_frac=2.0)
+        res = {}
+        for cap in (0, 64, 8):
+            f, o = pf_batch_rollout(cfg, jax.random.key(0), batch=4,
+                                    n_steps=8, noise_on=False,
+                                    interpret=True, compact_cap=cap)
+            res[cap] = (np.asarray(f.particles), np.asarray(f.log_w),
+                        np.asarray(o.x_est), np.asarray(o.resampled))
+        assert res[0][3].all(), "gate must fire every step in this test"
+        for cap in (64, 8):
+            for i in range(3):
+                np.testing.assert_array_equal(res[cap][i], res[0][i])
+
 
 class TestPfBatchPackedLayout:
     """Sublane-packed batched PF (R planes per filter) vs the flat

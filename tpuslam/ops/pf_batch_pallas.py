@@ -20,11 +20,17 @@ glue between steps at all:
     order, so the boundary sequence is provably monotone and the
     exclusive sum equals the previous inclusive sum exactly: each
     lane's slot interval ``[t_lo, t_hi)`` chains with its neighbor's
-    with no gap or overlap.  The interval one-hot
-    ``M[i, u] = (t_lo_u <= i < t_hi_u)`` then expands survivors into
-    their slots with one 9-split-row value matmul - bit-exact particle
-    values, no scatter, no gather, no compaction (non-survivors
-    self-mask with empty intervals);
+    with no gap or overlap.  The survivors (non-empty intervals) are
+    then COMPACTED into ``compact_cap`` columns by a rank one-hot and
+    expanded from the compacted stack by the interval one-hot
+    ``M[i, u] = (t_lo_u <= i < t_hi_u)`` - both masks P x t_k instead
+    of P x P and the value dot contracts over t_k, which is what cut
+    the measured 2.35 us/firing-filter to ~1 us at P=1024
+    (scripts/tpu_pf_batch_floor.py).  Bit-exact particle values: every
+    slot receives exactly ONE survivor's bf16 split rows, f32
+    reassembled; a resample with more than ``compact_cap`` survivors
+    (near-uniform weights) takes the direct P x P expansion under the
+    same predicate structure - identical output either way;
   * predict + landmark log-likelihood reuse the fused kernel's VPU math
     (:func:`tpuslam.ops.pf_pallas._predict_loglik`) with a per-tile
     observation row;
@@ -59,7 +65,7 @@ from tpuslam.models.process import circular_step
 from tpuslam.core.se2 import world_to_robot
 from tpuslam.ops.fastmath import normals as _normals
 from tpuslam.ops.pf_pallas import _predict_loglik
-from tpuslam.ops.resample_pallas import split3_kernel
+from tpuslam.ops.resample_pallas import _hprefix_exact, split3_kernel
 
 
 class PfBatchState(typing.NamedTuple):
@@ -148,10 +154,11 @@ def pf_batch_init(cfg: PfConfig, batch: int,
         log_w=jnp.tile(lw_blk, (1, batch)).astype(jnp.float32))
 
 
-def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
+def _pf_batch_kernel(seed_ref, z_ref, p_ref,
                      lw_ref, p_out_ref, lw_out_ref, st_ref, p_cur,
                      lw_cur, flat3, flat1, nzs, *, cfg: PfConfig, P: int,
-                     noise_on: bool, sub_rows: int, g: int):
+                     noise_on: bool, sub_rows: int, g: int,
+                     compact_cap: int):
     """G filters per grid cell (g=1 is the original one-filter-per-cell
     layout; other g match it exactly on particles/estimates and to 1 ulp
     on the per-filter logsumexp normalizer, whose scalar reduction fuses
@@ -261,15 +268,15 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
                 wq_f = flat1[0:1, :]
             lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
             wh, wm, wl = split3_kernel(wq_f)
-            w3 = jnp.concatenate([wh, wm, wl], axis=0)  # (3, P) bf16
-            cum_i3 = jax.lax.dot_general(
-                w3, lt_inc_ref[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cum_e3 = jax.lax.dot_general(
-                w3, lt_exc_ref[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            cum_i = cum_i3[0:1] + cum_i3[1:2] + cum_i3[2:3]
-            cum_e = cum_e3[0:1] + cum_e3[1:2] + cum_e3[2:3]
+            # Hierarchical exclusive prefix of the exact integers (the
+            # merge kernel's (P/128, 128)-plane triangular + log-step
+            # form): measured 0.42 us/firing-filter cheaper than a
+            # (3, P) @ (P, P) lower-triangular matmul at P=1024
+            # (scripts/tpu_pf_batch_fire_ablate.py), and bit-identical
+            # (integer partial sums < 2^24 are exact in any order).
+            # The inclusive prefix is then an exact integer addition.
+            cum_e = _hprefix_exact([wh, wm, wl], P)
+            cum_i = cum_e + wq_f
             q_tot = jnp.max(cum_i)  # exact integer total (monotone)
             # ONE reciprocal, then the shared multiply-only law: a
             # single f32 multiply is monotone in `cum` under any
@@ -284,9 +291,6 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
                             float(n))
             t_lo = jnp.where(lane_f >= n, float(n), t_lo)
 
-            i_sub = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) \
-                .astype(jnp.float32)
-            msk = ((i_sub >= t_lo) & (i_sub < t_hi)).astype(jnp.bfloat16)
             # Split-major value rows: [x y yaw]_hi, _mid, _lo.
             if r == 1 and g == 1:
                 v_f = p_ref[:, :]
@@ -298,22 +302,93 @@ def _pf_batch_kernel(seed_ref, z_ref, lt_inc_ref, lt_exc_ref, p_ref,
                 v_f = flat3[:, :]
             vh, vm, vl = split3_kernel(v_f)
             v9 = jnp.concatenate([vh, vm, vl], axis=0)  # (9, P) bf16
-            part = jax.lax.dot_general(
-                v9, msk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (9, P)
-            px = part[0:1] + part[3:4] + part[6:7]
-            py = part[1:2] + part[4:5] + part[7:8]
-            pyaw = part[2:3] + part[5:6] + part[8:9]
-            if r == 1:
-                p_cur[0:1, cols] = px
-                p_cur[1:2, cols] = py
-                p_cur[2:3, cols] = pyaw
+
+            def writeback(part, cols=cols):
+                px = part[0:1] + part[3:4] + part[6:7]
+                py = part[1:2] + part[4:5] + part[7:8]
+                pyaw = part[2:3] + part[5:6] + part[8:9]
+                if r == 1:
+                    p_cur[0:1, cols] = px
+                    p_cur[1:2, cols] = py
+                    p_cur[2:3, cols] = pyaw
+                else:
+                    for kk in range(r):
+                        sl = slice(kk * p8, (kk + 1) * p8)
+                        p_cur[kk:kk + 1, cols] = px[0:1, sl]
+                        p_cur[r + kk:r + kk + 1, cols] = py[0:1, sl]
+                        p_cur[2 * r + kk:2 * r + kk + 1, cols] = \
+                            pyaw[0:1, sl]
+
+            def full_expand(v9=v9, t_lo=t_lo, t_hi=t_hi):
+                # Direct (P, P) interval one-hot: slot j (sublane) takes
+                # lane u (lane dim) iff t_lo_u <= j < t_hi_u.
+                i_sub = jax.lax.broadcasted_iota(
+                    jnp.int32, (P, P), 0).astype(jnp.float32)
+                msk = ((i_sub >= t_lo)
+                       & (i_sub < t_hi)).astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    v9, msk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (9, P)
+                writeback(part)
+
+            if compact_cap:
+                # Compact-then-expand: pull the cnt survivors (lanes
+                # with a non-empty slot interval) into t_k columns with
+                # a rank one-hot, then expand from the (15, t_k) stack -
+                # both masks are P*t_k instead of P*P and the expand
+                # dot's contraction shrinks P -> t_k (8x at t_k=128).
+                # Bit-exact: every output slot still receives exactly
+                # ONE survivor's bf16 split rows (one-hot products, f32
+                # reassembly), identical to the full path.  The full
+                # path stays as the predicated overflow fallback (a
+                # near-uniform firing resample can have ~n survivors).
+                t_k = compact_cap
+                f_srv = (t_hi > t_lo).astype(jnp.float32)  # (1, P) 0/1
+                cnt = jnp.sum(f_srv)
+                ovf = cnt > float(t_k)
+
+                @pl.when(~ovf)
+                def _compact_expand(v9=v9, t_lo=t_lo, t_hi=t_hi,
+                                    f_srv=f_srv):
+                    # Exclusive survivor rank (exact 0/1 integer sums),
+                    # hierarchical for the same measured reason as the
+                    # weight prefix above: a (1, P) @ (P, P) rank matmul
+                    # cost as much as the mask savings it enabled.
+                    rank_e = _hprefix_exact(
+                        [f_srv.astype(jnp.bfloat16)], P)
+                    krow = jax.lax.broadcasted_iota(
+                        jnp.int32, (t_k, P), 0).astype(jnp.float32)
+                    sel = ((krow == rank_e)
+                           & (f_srv > 0.0)).astype(jnp.bfloat16)
+                    th3 = split3_kernel(t_hi)
+                    tl3 = split3_kernel(t_lo)
+                    stack = jnp.concatenate(
+                        [v9, th3[0], th3[1], th3[2],
+                         tl3[0], tl3[1], tl3[2]], axis=0)  # (15, P)
+                    tc = jax.lax.dot_general(
+                        stack, sel, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (15, t_k)
+                    t_hi_c = tc[9:10] + tc[10:11] + tc[11:12]
+                    t_lo_c = tc[12:13] + tc[13:14] + tc[14:15]
+                    # Each tc value IS a bf16 value (one-hot select of a
+                    # bf16 split row) - the cast back is exact.  Unused
+                    # columns (rank >= cnt) are zero with empty [0, 0)
+                    # intervals: inert in the expand mask.
+                    vc = tc[0:9].astype(jnp.bfloat16)
+                    i2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (P, t_k), 0).astype(jnp.float32)
+                    m2 = ((i2 >= t_lo_c)
+                          & (i2 < t_hi_c)).astype(jnp.bfloat16)
+                    part = jax.lax.dot_general(
+                        vc, m2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (9, P)
+                    writeback(part)
+
+                @pl.when(ovf)
+                def _full():
+                    full_expand()
             else:
-                for kk in range(r):
-                    sl = slice(kk * p8, (kk + 1) * p8)
-                    p_cur[kk:kk + 1, cols] = px[0:1, sl]
-                    p_cur[r + kk:r + kk + 1, cols] = py[0:1, sl]
-                    p_cur[2 * r + kk:2 * r + kk + 1, cols] = pyaw[0:1, sl]
+                full_expand()
             lw_cur[:, cols] = jnp.where(valid1, -math.log(float(n)),
                                         neg_inf)
 
@@ -366,10 +441,12 @@ def _auto_filters_per_cell(b: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "noise_on",
                                              "interpret",
-                                             "filters_per_cell"))
+                                             "filters_per_cell",
+                                             "compact_cap"))
 def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
                   noise_on: bool = True, interpret: bool = False,
-                  filters_per_cell: int | None = None):
+                  filters_per_cell: int | None = None,
+                  compact_cap: int = 128):
     """One step of B independent fused filters (order = main_pf,
     particle_filter.py:86-119: resample -> predict -> observe -> weight
     -> estimate; the shared truth advances first).
@@ -385,6 +462,11 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
             ``seed + f``, so outputs match across values (exactly on
             particles/estimates; to 1 ulp on the logsumexp normalizer —
             see :func:`_pf_batch_kernel`).
+        compact_cap: survivor cap of the compact-then-expand firing
+            path (0 disables: always run the direct (P, P) interval
+            expansion).  Another pure scheduling knob - outputs are
+            bit-identical across values (overflowing filters take the
+            full path).
 
     Returns:
         ``(next_state, PfBatchOut)``.
@@ -413,18 +495,13 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
         z.reshape(b, -1).T[:, :, None])
     z_rows = jnp.broadcast_to(z_rows, (zr, b, p8)).reshape(zr, b * p8)
 
-    ii = jnp.arange(P, dtype=jnp.int32)
-    lt_inc = (ii[:, None] <= ii[None, :]).astype(jnp.bfloat16)
-    lt_exc = (ii[:, None] < ii[None, :]).astype(jnp.bfloat16)
-
     kernel = functools.partial(_pf_batch_kernel, cfg=cfg, P=P,
-                               noise_on=noise_on, sub_rows=r, g=g)
+                               noise_on=noise_on, sub_rows=r, g=g,
+                               compact_cap=compact_cap)
     row3 = pl.BlockSpec((3 * r, g * p8), lambda c: (0, c),
                         memory_space=pltpu.VMEM)
     row1 = pl.BlockSpec((r, g * p8), lambda c: (0, c),
                         memory_space=pltpu.VMEM)
-    const = pl.BlockSpec((P, P), lambda c: (0, 0),
-                         memory_space=pltpu.VMEM)
     p_out, lw_out, st = pl.pallas_call(
         kernel,
         grid=(b // g,),
@@ -432,7 +509,7 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((zr, g * p8), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
-            const, const, row3, row1,
+            row3, row1,
         ],
         out_shape=(
             jax.ShapeDtypeStruct((3 * r, b * p8), jnp.float32),
@@ -447,9 +524,9 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
                         pltpu.VMEM((3, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((4 * r, g * p8), jnp.float32)],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), z_rows, lt_inc, lt_exc,
+    )(jnp.asarray([seed], jnp.int32), z_rows,
       state.particles, state.log_w)
 
     st = st.reshape(b, 128)
@@ -463,7 +540,8 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
 def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                      noise_on: bool = True, interpret: bool = False,
                      sub_rows: int | None = None, seed0=1,
-                     filters_per_cell: int | None = None):
+                     filters_per_cell: int | None = None,
+                     compact_cap: int = 128):
     """``n_steps`` batched fused steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs each filter's particle axis into 8
@@ -485,7 +563,8 @@ def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         k = inp
         st, out = pf_batch_step(cfg, st, k, seed, noise_on=noise_on,
                                 interpret=interpret,
-                                filters_per_cell=filters_per_cell)
+                                filters_per_cell=filters_per_cell,
+                                compact_cap=compact_cap)
         return (st, seed + 7919), out
 
     (final, _), outs = jax.lax.scan(

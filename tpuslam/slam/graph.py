@@ -35,6 +35,17 @@ TPU-native redesign decisions:
     followed by one iterative-refinement pass.
   * The GN loop is a ``lax.while_loop`` with the reference's
     ``||dx||^2 >= 0.01`` criterion plus an iteration cap.
+
+CAPACITY.  This dense reference-exact path materializes every landmark's
+all-pairs edge set (``~T1^2/2 * L`` premultiplied 3x3 blocks, so memory
+grows as ``T1^2 * L * 9`` floats) and assembles a dense ``(3T1, 3T1)``
+H; with ``guard="full"`` each GN iteration also runs a full SVD for the
+reference's cond check (graph_based_slam.py:494-496).  That is the right
+trade at demo scale (the whole 18-frame course solves in ~70-90 ms on
+one v5e chip) but walls off around a few thousand poses on a 16 GB
+chip.  Beyond that use ``slam/large.py`` (windowed edges, banded flat
+assembly, Thomas/CR/CG solvers, ``exact_jacobians=True``): measured 1M
+poses / 77k edges in 1.37 s end-to-end (scripts/tpu_graph_1m.py).
 """
 
 from __future__ import annotations
