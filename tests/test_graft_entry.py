@@ -14,11 +14,13 @@ import __graft_entry__ as graft
 
 
 def test_entry_compiles_and_runs():
+    # One contract on every platform: fn(seed) -> scalar rollout RMSE.
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert out.x_true.shape == (256, 3)
-    assert np.isfinite(np.asarray(out.cov)).all()
+    assert out.shape == ()
+    rmse = float(out)
+    assert np.isfinite(rmse) and 0.0 < rmse < 10.0
 
 
 @pytest.mark.slow

@@ -374,15 +374,117 @@ class TestPfAgainstLiveReference:
 
 
 # ---------------------------------------------------------------------------
-# Graph SLAM: frame-for-frame parity on the 18-frame demo course
+# mylib: live checks of error_ellipse / limit / transform
+# ---------------------------------------------------------------------------
+
+class TestMylibAgainstLiveReference:
+    """Direct differential tests of the one reference package that the
+    replay tests above import but never execute: ``mylib``.  Random inputs
+    through the LIVE classes/functions vs the tpuslam twins, float64."""
+
+    def test_chi2_table_matches_reference_grid(self, ref, x64):
+        """Our closed-form-regenerated chi-squared grid must equal the
+        reference's hardcoded 43-entry table (error_ellipse.py:24-36) to
+        its printed precision, and the interpolant must agree everywhere."""
+        from tpuslam.core.chi2 import CHI2_GRID, P_GRID, chi2_ppf_2dof_table
+
+        ee = ref.error_ellipse.ErrorEllipse(99.0)
+        np.testing.assert_allclose(np.asarray(CHI2_GRID), ee.square_x,
+                                   rtol=0, atol=5e-9)
+        np.testing.assert_allclose(np.asarray(P_GRID), ee.p, atol=0)
+        rng = np.random.RandomState(0)
+        ps = np.concatenate([rng.uniform(0.0, 99.9, 64), ee.p])
+        for p in ps:
+            np.testing.assert_allclose(
+                float(chi2_ppf_2dof_table(p)),
+                float(ee.chi_squared_distribution(p)), rtol=1e-7,
+                atol=1e-9, err_msg=f"p={p}")
+
+    def test_error_ellipse_matches(self, ref, x64):
+        """Random PSD covariances through the LIVE
+        ``ErrorEllipse.calc_error_ellipse`` (error_ellipse.py:39-55) vs
+        ``core/ellipse.py::error_ellipse(row_eigvec_compat=True)``.
+
+        The ellipse angle is compared modulo pi: eigh's eigenvector SIGN is
+        convention-dependent (LAPACK vs XLA may negate), and an ellipse at
+        ang and ang+pi is the same ellipse (the reference only feeds it to
+        matplotlib's patch angle)."""
+        from tpuslam.core.ellipse import error_ellipse, major_axis_length
+
+        rng = np.random.RandomState(3)
+        for p in (99.9, 99.0, 95.0, 80.0, 42.5, 7.3):
+            ee = ref.error_ellipse.ErrorEllipse(p)
+            for _ in range(16):
+                a = rng.randn(2, 2)
+                sigma = a @ a.T + 1e-3 * np.eye(2)
+                rl, ry, rang = ee.calc_error_ellipse(sigma)
+                gl, gy, gang = error_ellipse(jnp.asarray(sigma), p,
+                                             row_eigvec_compat=True)
+                # The reference's chi2 table carries ~10 printed digits,
+                # so lengths agree to ~1e-8 relative, not machine epsilon.
+                np.testing.assert_allclose(float(gl), rl, rtol=1e-7,
+                                           err_msg=f"major p={p}")
+                np.testing.assert_allclose(float(gy), ry, rtol=1e-7,
+                                           err_msg=f"minor p={p}")
+                d = float(gang) - rang
+                np.testing.assert_allclose(np.sin(d) * np.cos(d), 0.0,
+                                           atol=1e-12,
+                                           err_msg=f"angle p={p}")
+                # calc_chi (error_ellipse.py:57-68): major axis at another p.
+                p2 = float(rng.uniform(0.5, 99.5))
+                np.testing.assert_allclose(
+                    float(major_axis_length(jnp.asarray(sigma), p2)),
+                    ee.calc_chi(p2, sigma), rtol=1e-7,
+                    err_msg=f"calc_chi p2={p2}")
+
+    def test_limit_angle_matches(self, ref, x64):
+        from tpuslam.core.angles import wrap_angle
+
+        rng = np.random.RandomState(5)
+        angles = np.concatenate([
+            rng.uniform(-20.0, 20.0, 256),         # incl. |a| > 3*pi
+            rng.uniform(-np.pi, np.pi, 64),
+            [0.0, np.pi, -np.pi, 2 * np.pi, -2 * np.pi, 3.5 * np.pi],
+        ])
+        got = np.asarray(wrap_angle(jnp.asarray(angles)))
+        for a, g in zip(angles, got):
+            np.testing.assert_allclose(g, ref.limit.limit_angle(a),
+                                       atol=1e-12, err_msg=f"angle {a}")
+
+    def test_transform_matches(self, ref, x64):
+        from tpuslam.core.se2 import robot_to_world, world_to_robot
+
+        rng = np.random.RandomState(9)
+        for _ in range(8):
+            origin = rng.uniform(-10, 10, (3, 1))
+            pts = rng.uniform(-20, 20, (5, 2))
+            ref_r = ref.transform.world2robot(origin, pts)
+            got_r = world_to_robot(jnp.asarray(origin.ravel()),
+                                   jnp.asarray(pts))
+            np.testing.assert_allclose(np.asarray(got_r), ref_r, atol=1e-12)
+            ref_w = ref.transform.robot2world(origin, pts)
+            got_w = robot_to_world(jnp.asarray(origin.ravel()),
+                                   jnp.asarray(pts))
+            np.testing.assert_allclose(np.asarray(got_w), ref_w, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Graph SLAM: frame-for-frame parity on the demo course
 # ---------------------------------------------------------------------------
 
 class TestGraphSlamAgainstLiveReference:
 
-    N_FRAMES = 18
-
     @pytest.mark.slow
     def test_course_matches_frame_for_frame(self, ref, x64):
+        """The full 18-frame reference demo course (slow tier)."""
+        self._run_course(ref, 18)
+
+    def test_course_matches_fast(self, ref, x64):
+        """6-frame prefix of the same course - runs in the smoke tier so
+        CI always gates on live graph parity (VERDICT r3 item 5b)."""
+        self._run_course(ref, 6)
+
+    def _run_course(self, ref, n_frames):
         from tpuslam.slam.graph import (GraphConfig, GraphObservations,
                                         graph_solve)
 
@@ -394,7 +496,7 @@ class TestGraphSlamAgainstLiveReference:
                         gbs.SCN_SENS_ANGLE_rps, landmarks)
         vel, omg = gbs.VEL_mps, gbs.OMEGA_rps
 
-        t1 = self.N_FRAMES + 1
+        t1 = n_frames + 1
         n_lm = len(landmarks)
         cfg = GraphConfig(max_times=t1, num_landmarks=n_lm)
         solve = jax.jit(graph_solve, static_argnums=(0,),
@@ -427,7 +529,7 @@ class TestGraphSlamAgainstLiveReference:
             return np.array([p.ravel() for p in
                              est._TrajectoryEstimator__mPosesEst])
 
-        for frame in range(1, self.N_FRAMES + 1):
+        for frame in range(1, n_frames + 1):
             rbt.move(vel, omg)
             obs = obs_tensors()
             poses_init = est_poses()  # (frame+1, 3): the pre-solve guesses

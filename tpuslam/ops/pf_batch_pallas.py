@@ -466,11 +466,17 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
             path (0 disables: always run the direct (P, P) interval
             expansion).  Another pure scheduling knob - outputs are
             bit-identical across values (overflowing filters take the
-            full path).
+            full path).  On real hardware use a multiple of the
+            128-lane tile: the one-hot compact matmul lowers to fully
+            padded (P, cap-rounded-to-128) MXU tiles, so e.g. cap=64
+            costs the same as cap=128 (sub-128 caps only make sense in
+            interpret mode for tests).
 
     Returns:
         ``(next_state, PfBatchOut)``.
     """
+    if compact_cap < 0:
+        raise ValueError(f"compact_cap must be >= 0, got {compact_cap}")
     r = state.particles.shape[0] // 3  # packed row factor (1 = flat)
     P = _padded_p(cfg, r)
     p8 = P // r
