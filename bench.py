@@ -186,8 +186,15 @@ def bench_graph(n_steps=18, guard="full"):
     return dt
 
 
-def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
-    """BASELINE config 5: 10k-pose / 1k-landmark banded solve latency."""
+def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40,
+                      scan_chunk=None, radius_frac=0.3):
+    """BASELINE config 5 and its scale-ups: banded solve latency.
+
+    Defaults = the 10k-pose / 1k-landmark BASELINE config; the flagship
+    scale-ups reuse it with ``scan_chunk`` (the scan's (chunk, L, 2)
+    intermediates exhaust HBM past ~1e8 pose-landmark pairs) and the
+    geometry of scripts/tpu_100k_solve.py / tpu_graph_1m.py.
+    """
     import math
 
     import numpy as np
@@ -204,8 +211,9 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40):
                         orient_sigma=math.radians(2.0)),
         exact_jacobians=True)
     pt, po, obs = make_large_scene(cfg, jax.random.key(0), n_poses,
-                                   n_landmarks, radius=0.3 * n_poses,
-                                   odom_noise=0.1)
+                                   n_landmarks,
+                                   radius=radius_frac * n_poses,
+                                   odom_noise=0.1, scan_chunk=scan_chunk)
     el = window_pairs(np.asarray(obs.valid), window=window)
     rel_odom = po[1:] - po[:-1]
     rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
@@ -312,6 +320,14 @@ def main():
     except Exception as e:
         print(f"# PF batch wide bench failed: {e}", file=sys.stderr)
     try:
+        # Flagship wide config (round-3 target >= 1.2e9): 1024 filters
+        # x 10k particles, default gate.
+        pf_rate = bench_pf_batch_wide(batch=1024)
+        print(f"# PF (batched wide fused, 1024x10000): {pf_rate:.3e} "
+              f"particle-steps/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"# PF batch wide 1024 bench failed: {e}", file=sys.stderr)
+    try:
         graph_dt = bench_graph(guard="full")
         print(f"# reference demo course (18 frames, sim + per-frame GN, "
               f"FULL reference guards; 36 s wall in the reference): "
@@ -330,6 +346,27 @@ def main():
             n_poses * max(gn_iters, 1) / large_dt), file=sys.stderr)
     except Exception as e:
         print(f"# large graph bench failed: {e}", file=sys.stderr)
+    try:
+        # Flagship scale-up 1: 100k poses / 1k landmarks (factor-reuse
+        # GN; geometry of scripts/tpu_100k_solve.py).
+        large_dt, n_edges, gn_iters, n_poses = bench_graph_large(
+            n_poses=100_000, scan_chunk=10_000)
+        print(f"# graph solve (100k poses / 1k landmarks, {n_edges} "
+              f"edges): {large_dt:.3f} s, {gn_iters} GN iters",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# 100k graph bench failed: {e}", file=sys.stderr)
+    try:
+        # Flagship scale-up 2: 1M poses / 100 landmarks (the stretch
+        # scale of scripts/tpu_graph_1m.py; ~100x the BASELINE config).
+        large_dt, n_edges, gn_iters, n_poses = bench_graph_large(
+            n_poses=1_000_000, n_landmarks=100, scan_chunk=10_000,
+            radius_frac=0.05)
+        print(f"# graph solve (1M poses / 100 landmarks, {n_edges} "
+              f"edges): {large_dt:.3f} s, {gn_iters} GN iters "
+              f"(factor-reuse)", file=sys.stderr)
+    except Exception as e:
+        print(f"# 1M graph bench failed: {e}", file=sys.stderr)
 
     target = 1.0e6
     print(json.dumps({

@@ -61,6 +61,13 @@ def main():
         ("reuse+stall", dict(stall_ratio=0.5)),  # production path
         ("reuse", dict()),
         ("one-shot", dict(reuse_factorization=False)),
+        # Reference-semantics relinearization (Omega recomputed from the
+        # current estimates, graph_based_slam.py:411-417): the full
+        # per-iteration refactor vs the refactor-every-k fast path
+        # (VERDICT r4 item 7: target <= 2x the frozen-Omega reuse path).
+        ("relin full", dict(relinearize_omega=True,
+                            reuse_factorization=False)),
+        ("relin k=4", dict(relinearize_omega=True, refactor_every=4)),
     ]
     for name, kw in variants:
         fn = make_fn(**kw)

@@ -831,6 +831,32 @@ class TestPfBatchPackedLayout:
         np.testing.assert_allclose(np.asarray(op.lse),
                                    np.asarray(of.lse), rtol=1e-5)
 
+    def test_wide_t_k_cap_is_selection_invariant(self):
+        """The pass-A survivor cap t_k is pure scheduling: any value
+        (including ones that force the overflow fallback) must produce
+        bit-identical particles - the boundary law and the quantized
+        weights never see it."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops import pf_batch_wide_rollout
+        from tpuslam.ops.pf_batch_pallas import flat_batch_rows
+
+        cfg = PfConfig(num_particles=2048, weight_mode="log",
+                       ess_threshold_frac=2.0)  # always fire
+        key = jax.random.key(13)
+        f_def, o_def = pf_batch_wide_rollout(
+            cfg, key, batch=2, n_steps=6, noise_on=False, interpret=True,
+            sub_rows=1)
+        for tk in (64, 128):
+            f_tk, o_tk = pf_batch_wide_rollout(
+                cfg, key, batch=2, n_steps=6, noise_on=False,
+                interpret=True, sub_rows=1, t_k=tk)
+            np.testing.assert_array_equal(
+                np.asarray(f_tk.particles), np.asarray(f_def.particles),
+                err_msg=f"t_k={tk}")
+            np.testing.assert_array_equal(
+                np.asarray(o_tk.x_est), np.asarray(o_def.x_est),
+                err_msg=f"t_k={tk}")
+
 
 class TestFastmath:
     """Polynomial sincos used by the kernels' Box-Muller noise

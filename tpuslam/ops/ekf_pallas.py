@@ -58,7 +58,7 @@ from tpuslam.ops.fastmath import normals as _normals  # noqa: E402
 
 def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
                 cov_ref, err_ref, *, cfg: EkfConfig, n_steps: int,
-                noise_on: bool, sub_rows: int):
+                noise_on: bool, sub_rows: int, with_nees: bool = True):
     if noise_on:
         # (TPU-only primitive; the noise-free path must stay liftable to
         # CPU interpret mode for the exactness test.)
@@ -192,9 +192,13 @@ def _ekf_kernel(seed_ref, tbl_ref, state_in_ref, cov_in_ref, state_ref,
         d0 = xh0 - xt0
         d1 = xh1 - xt1
         acc = acc + d0 * d0 + d1 * d1
-        det_n = n00 * n11 - n01 * n10
-        acc_n = acc_n + (n11 * d0 * d0 - (n01 + n10) * d0 * d1
-                         + n00 * d1 * d1) / det_n
+        if with_nees:
+            # The per-step divide is the single most expensive op of
+            # this block; skip it (statically) when the caller never
+            # reads the NEES accumulator.
+            det_n = n00 * n11 - n01 * n10
+            acc_n = acc_n + (n11 * d0 * d0 - (n01 + n10) * d0 * d1
+                             + n00 * d1 * d1) / det_n
 
         return (xd0, xd1, xd2, xh0, xh1, xh2,
                 n00, n01, n02, n10, n11, n12, n20, n21, n22, acc,
@@ -293,7 +297,8 @@ def ekf_fused_rollout(cfg: EkfConfig, seed, batch: int, n_steps: int,
                           length=n_steps)  # (n_steps, 5)
 
     kernel = functools.partial(_ekf_kernel, cfg=cfg, n_steps=n_steps,
-                               noise_on=noise_on, sub_rows=r)
+                               noise_on=noise_on, sub_rows=r,
+                               with_nees=with_nees)
     row_spec = pl.BlockSpec((9 * r, tile_b), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     state, cov, err = pl.pallas_call(

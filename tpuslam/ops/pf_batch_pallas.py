@@ -860,12 +860,14 @@ def _combine_wide_stats(parts, b: int, w_tiles: int):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
                                              "interpret", "fire_cap",
-                                             "w_b", "fire_cap_small"))
+                                             "w_b", "fire_cap_small",
+                                             "t_k"))
 def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                        tile_n: int = 1024, noise_on: bool = True,
                        interpret: bool = False,
                        fire_cap: int | None = None, w_b: int = 12,
-                       fire_cap_small: int | None = None):
+                       fire_cap_small: int | None = None,
+                       t_k: int | None = None):
     """One step of B wide filters (main_pf order: resample -> predict ->
     observe -> weight -> estimate).
 
@@ -933,7 +935,11 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
         raise ValueError(f"n={n} (padded {np_}): slot-keyed boundaries "
                          "exceed f32 exactness (max ~1M particles per "
                          "filter)")
-    t_k = min(256, tile_n)
+    # Pass-A survivor cap per resample tile.  The compact/expand one-hot
+    # dots' FLOPs scale linearly with it (M is 128-sublane padded either
+    # way); post-gate survivor rates are ~5%, so smaller caps are safe
+    # for typical firings and overflow falls back to the XLA decode.
+    t_k = min(256, tile_n) if t_k is None else min(t_k, tile_n)
     wb2 = min(128, t_k)
     nw = t_k // wb2
     cap = b if fire_cap is None else fire_cap
@@ -1270,7 +1276,8 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           interpret: bool = False,
                           fire_cap: int | None = None, w_b: int = 12,
                           fire_cap_small: int | None = None,
-                          sub_rows: int | None = None, seed0=1):
+                          sub_rows: int | None = None, seed0=1,
+                          t_k: int | None = None):
     """``n_steps`` wide batched steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs pass C into 8 vreg-sublane planes per
@@ -1293,7 +1300,8 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                                      noise_on=noise_on,
                                      interpret=interpret,
                                      fire_cap=fire_cap, w_b=w_b,
-                                     fire_cap_small=fire_cap_small)
+                                     fire_cap_small=fire_cap_small,
+                                     t_k=t_k)
         return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(

@@ -490,7 +490,8 @@ def pf_fused_to_state(cfg: PfConfig, fs: PfFusedState) -> PfState:
 
 def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
                         noise_on: bool = True, interpret: bool = False,
-                        tile_n: int = 2048):
+                        tile_n: int = 2048,
+                        merge_caps_kw: tuple = ()):
     """One PF step, one pass over particle memory.
 
     Semantics of ``pf_step`` in log-weight mode (resample -> predict ->
@@ -500,6 +501,11 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
     only in the taken ``lax.cond`` branch.
 
     Returns ``(next_fs, ess)`` (ESS before resampling, as in ``pf_step``).
+
+    ``merge_caps_kw`` is a (hashable) tuple of ``(name, value)`` pairs
+    forwarded to :func:`tpuslam.ops.resample_pallas.merge_resample_rows`
+    (e.g. ``(("t_in", 512), ("t_k", 128))``) - pure scheduling: any cap
+    choice selects identically (tests pin this).
     """
     from tpuslam.filters.pf import resample_indices
 
@@ -540,7 +546,8 @@ def pf_fused_step_stats(cfg: PfConfig, fs: PfFusedState, key, seed,
 
             w_row = jnp.exp(lw - fs.lse)  # padded -inf lanes -> 0
             p2 = merge_resample_rows(k_rs, p, w_row, n,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     **dict(merge_caps_kw))
         else:
             w = jnp.exp(lw[0, :n] - fs.lse)
             idx = resample_indices(k_rs, w, method=cfg.resample_method)
@@ -601,7 +608,8 @@ def pf_fused_step(cfg: PfConfig, state: PfState, key, seed,
 def pf_fused_rollout(cfg: PfConfig, key, n_steps: int,
                      state0: PfState | None = None, noise_on: bool = True,
                      interpret: bool = False, tile_n: int = 2048,
-                     sub_rows: int | None = None):
+                     sub_rows: int | None = None,
+                     merge_caps_kw: tuple = ()):
     """``n_steps`` fused PF steps under ``lax.scan``.
 
     The scan carry stays in the kernel's padded row layout; the two
@@ -623,7 +631,8 @@ def pf_fused_rollout(cfg: PfConfig, key, n_steps: int,
     def body(carry, k):
         fs, seed = carry
         fs, _ = pf_fused_step_stats(cfg, fs, k, seed, noise_on=noise_on,
-                                    interpret=interpret, tile_n=tile_n)
+                                    interpret=interpret, tile_n=tile_n,
+                                    merge_caps_kw=merge_caps_kw)
         return (fs, seed + 7919), (fs.x_true, fs.x_est)
 
     (final, _), outs = jax.lax.scan(

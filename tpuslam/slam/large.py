@@ -326,6 +326,29 @@ def exact_edge_terms(cfg: GraphConfig, obs: GraphObservations,
 
 
 @highest_matmul_precision
+def exact_edge_omega(cfg: GraphConfig, obs: GraphObservations,
+                     edges: EdgeList, omega_poses, mask):
+    """Recompute ONLY the per-edge information blocks ``om`` from new
+    linearization poses (the Omega half of :func:`exact_edge_terms`;
+    ``rel_obs`` and ``mask`` are pose-independent and stay fixed).
+
+    The reference recomputes these from the current estimates every GN
+    iteration (graph_based_slam.py:411-417); the refactor-every-k loop
+    (:func:`_graph_solve_banded_relin_reuse`) calls this at each refresh.
+    """
+    tb, ta, lm = edges.t_b, edges.t_a, edges.lm
+    d_b = obs.dist[tb, lm]
+    d_a = obs.dist[ta, lm]
+    dir_b = obs.bearing[tb, lm]
+    dir_a = obs.bearing[ta, lm]
+    om_yaw_b = omega_poses[tb][:, 2]
+    om_yaw_a = omega_poses[ta][:, 2]
+    cov = (_measurement_cov_world(cfg, d_a, dir_a, om_yaw_a)
+           + _measurement_cov_world(cfg, d_b, dir_b, om_yaw_b))
+    return _inv3x3(cov) * mask.astype(omega_poses.dtype)[:, None, None]
+
+
+@highest_matmul_precision
 def exact_rhs_flat(poses, om, rel_obs, edges: EdgeList, t1: int):
     """Rebuild ONLY the rhs ``b_flat (3, T1)`` from the current poses.
 
@@ -723,7 +746,8 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        damping: float = 0.0,
                        super_size: int | None = None,
                        stall_ratio: float | None = None,
-                       reuse_factorization: bool | None = None):
+                       reuse_factorization: bool | None = None,
+                       refactor_every: int | None = None):
     """Gauss-Newton with banded assembly + selectable inner solver.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -791,6 +815,20 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             GN iterations after the first then cost an O(E + T1) rhs
             rebuild plus two O(S^2)-per-block substitution scans instead
             of the full O(S^3)-per-block factorization.
+        refactor_every: make REFERENCE-SEMANTICS relinearization
+            (``relinearize_omega=True``, graph_based_slam.py:411-417)
+            affordable at scale: refresh Omega from the current poses and
+            re-factor H only every k-th GN iteration, reusing the stale
+            :class:`~tpuslam.slam.tridiag.TridiagFlatFactor` (and the
+            matching stale Omega in the rhs) in between.  Iterations
+            between refreshes are inexact-Newton steps toward the SAME
+            fixed point - the rhs at convergence is the relinearized
+            gradient - so the solution matches full relinearization to
+            solver tolerance while the per-iteration cost drops to the
+            frozen-Omega reuse path's rhs-rebuild + substitution.
+            ``refactor_every=1`` IS full relinearization (every
+            iteration factors fresh).  Requires ``exact_jacobians=True``,
+            ``relinearize_omega=True``, ``solver='tridiag'``.
     """
     if damping < 0.0:
         raise ValueError(f"damping must be >= 0, got {damping}; negative "
@@ -806,6 +844,19 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             "True, relinearize_omega=False, solver='tridiag' (got "
             f"exact_jacobians={cfg.exact_jacobians}, relinearize_omega="
             f"{relinearize_omega}, solver={solver!r})")
+    if refactor_every is not None:
+        if refactor_every < 1:
+            raise ValueError(
+                f"refactor_every must be >= 1, got {refactor_every}")
+        if not (solver == "tridiag" and cfg.exact_jacobians
+                and relinearize_omega):
+            raise ValueError(
+                "refactor_every is the relinearize_omega=True fast path: "
+                "requires exact_jacobians=True, relinearize_omega=True, "
+                f"solver='tridiag' (got exact_jacobians="
+                f"{cfg.exact_jacobians}, relinearize_omega="
+                f"{relinearize_omega}, solver={solver!r}; with frozen "
+                "Omega use reuse_factorization instead)")
     t1 = poses_init.shape[0]
     tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
 
@@ -813,6 +864,10 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
         return _graph_solve_banded_reuse(
             cfg, poses_init, obs, edges, band, rel_odom, odom_info,
             damping, super_size, tol, stall_ratio)
+    if refactor_every is not None:
+        return _graph_solve_banded_relin_reuse(
+            cfg, poses_init, obs, edges, band, rel_odom, odom_info,
+            damping, super_size, tol, stall_ratio, refactor_every)
 
     def gn_body(carry):
         poses, _, _, iters, _ = carry
@@ -945,3 +1000,88 @@ def _graph_solve_banded_reuse(cfg: GraphConfig, poses_init,
         gn_cond, gn_body, init)
     return BandedSolveResult(poses=poses, gn_iters=iters,
                              delta_sum=delta_sum, cg_iters_last=cg_it)
+
+
+def _graph_solve_banded_relin_reuse(cfg: GraphConfig, poses_init,
+                                    obs: GraphObservations,
+                                    edges: EdgeList, band: int, rel_odom,
+                                    odom_info, damping: float,
+                                    super_size: int | None, tol,
+                                    stall_ratio: float | None,
+                                    refactor_every: int):
+    """Refactor-every-k GN for REFERENCE-SEMANTICS relinearization.
+
+    The reference recomputes the measurement information from the current
+    estimates every GN iteration (graph_based_slam.py:411-417), which at
+    scale forfeits factor reuse entirely (every iteration pays the
+    O(S^3)-per-block Thomas factorization).  This loop refreshes
+    ``om = Omega(poses)`` + the factorization only when
+    ``iters % refactor_every == 0``; between refreshes it runs the cheap
+    rhs-rebuild + substitution of the frozen-Omega path against the stale
+    factor AND the stale ``om`` (so each inter-refresh segment is an
+    exact GN on the stale linearization; the refresh then re-anchors it).
+    ``refactor_every=1`` degenerates to full per-iteration
+    relinearization.  Fixed point: a converged rhs is
+    ``J' Omega(stale poses ~= final poses) err(final poses) = 0`` - the
+    same stationarity full relinearization converges to, so poses match
+    to solver tolerance (pinned by tests/test_large_graph.py).
+    """
+    from tpuslam.slam.tridiag import (banded_factor_tridiag_flat,
+                                      banded_resolve_tridiag_flat)
+
+    t1 = poses_init.shape[0]
+    ss = max(band, 1) if super_size is None else super_size
+    # rel_obs and mask are pose-independent; only om refreshes.
+    om0, rel_obs, mask = exact_edge_terms(cfg, obs, edges, poses_init)
+    kept_zero_b = jnp.zeros((om0.shape[0], 3), om0.dtype)
+
+    def factor_at(om, poses):
+        blocks = {"h_bb": om, "h_ba": -om, "h_aa": om,
+                  "b_b": kept_zero_b, "b_a": kept_zero_b, "mask": mask}
+        h_flat, _, kept = assemble_banded_flat(cfg, blocks, edges, t1,
+                                               band)
+        if rel_odom is not None:
+            h_flat, _ = add_odometry_chain_flat(
+                h_flat, jnp.zeros((3, t1), h_flat.dtype), poses,
+                rel_odom, odom_info)
+            kept = jnp.ones_like(kept)
+        if damping:
+            for k in (0, 4, 8):
+                h_flat = h_flat.at[k].multiply(1.0 + damping)
+        return banded_factor_tridiag_flat(h_flat, band, ss), kept
+
+    fac0, kept = factor_at(om0, poses_init)
+
+    def refresh(poses):
+        om = exact_edge_omega(cfg, obs, edges, poses, mask)
+        fac, _ = factor_at(om, poses)  # kept is pose-independent
+        return om, fac
+
+    def gn_body(carry):
+        poses, delta_prev, prev2, iters, om, fac = carry
+        do_refresh = (iters > 0) & (iters % refactor_every == 0)
+        om, fac = jax.lax.cond(do_refresh, refresh,
+                               lambda p: (om, fac), poses)
+        b_flat = exact_rhs_flat(poses, om, rel_obs, edges, t1)
+        if rel_odom is not None:
+            b_flat = odometry_rhs_flat(b_flat, poses, rel_odom, odom_info)
+        delta = banded_resolve_tridiag_flat(fac, -b_flat, ss)
+        delta = delta * kept[:, None]
+        poses = poses + delta
+        poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
+        eff = delta.at[:, 2].set(wrap_angle(delta[:, 2]))
+        return (poses, jnp.sum(eff * eff), delta_prev, iters + 1, om, fac)
+
+    base_cond = _make_gn_cond(tol, cfg.max_gn_iters, stall_ratio)
+
+    def gn_cond(carry):
+        return base_cond(carry[:5])
+
+    init = (poses_init, jnp.asarray(jnp.inf, poses_init.dtype),
+            jnp.asarray(jnp.inf, poses_init.dtype), jnp.asarray(0),
+            om0, fac0)
+    poses, delta_sum, _, iters, _, _ = jax.lax.while_loop(
+        gn_cond, gn_body, init)
+    return BandedSolveResult(poses=poses, gn_iters=iters,
+                             delta_sum=delta_sum,
+                             cg_iters_last=jnp.asarray(0))
