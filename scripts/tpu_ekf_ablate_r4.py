@@ -35,7 +35,7 @@ from tpuslam.ops.fastmath import normals as _normals
 from tpuslam.ops.fastmath import sincos_rad
 
 BATCH = int(os.environ.get("EKF_B", 8 * 1024 * 1024))
-STEPS = 400
+STEPS = int(os.environ.get("EKF_STEPS", 400))
 R = 8
 TILE = 1024
 _TWO_PI = 2.0 * math.pi
@@ -193,9 +193,6 @@ def run(name, **kw):
     n8 = BATCH // R
     grid = n8 // TILE
     x0 = jnp.asarray(cfg.x0, jnp.float32)
-    state0 = jnp.tile(x0[:, None], (3, BATCH)).reshape(9 * R, n8)
-    p0 = jnp.diag(jnp.square(jnp.asarray(cfg.p0_std, jnp.float32)))
-    cov0 = jnp.tile(p0.reshape(9, 1), (1, BATCH)).reshape(9 * R, n8)
     v, w, dt = cfg.vel, cfg.yaw_rate, cfg.dt
 
     def _truth(carry, _):
@@ -214,6 +211,12 @@ def run(name, **kw):
 
     @jax.jit
     def fn(seed):
+        # Inits built INSIDE jit: closed-over host arrays are baked as
+        # constants into the remote-compile POST (288 MB -> HTTP 413).
+        state0 = jnp.tile(jnp.asarray(cfg.x0, jnp.float32)[:, None],
+                          (3, BATCH)).reshape(9 * R, n8)
+        p0d = jnp.diag(jnp.square(jnp.asarray(cfg.p0_std, jnp.float32)))
+        cov0 = jnp.tile(p0d.reshape(9, 1), (1, BATCH)).reshape(9 * R, n8)
         state, cov, err = pl.pallas_call(
             kern,
             grid=(grid,),

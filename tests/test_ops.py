@@ -397,6 +397,99 @@ class TestMergeResampleKernel:
                                 fused=False)
         assert bool(jnp.all(a == b))
 
+    @pytest.mark.parametrize("pass2_kw", [
+        {"pass2": "compressed"},
+        {"w_b_small": 1},
+        {"w_b_small": 2},
+    ])
+    @pytest.mark.parametrize("n,n_pad,scale", [
+        (1000, 1024, 8.0),
+        (900, 1024, 0.1),
+        (5000, 8192, 8.0),
+    ])
+    def test_pass2_variants_bit_match(self, rng, n, n_pad, scale,
+                                      pass2_kw):
+        """The compressed two-wide-ref pass 2 and the tiered windowed
+        pass 2 are pure scheduling: outputs bit-match the windowed
+        default (and hence the hist decode) on every weight regime."""
+        from tpuslam.ops import merge_resample_rows
+
+        w_row = self._weights(rng, n, n_pad, scale)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(n + 2)
+        ref = self._oracle(key, p, w_row, n)
+        out = merge_resample_rows(key, p, w_row, n, t_in=1024, t_k=1024,
+                                  t_out=1024, w_b=3, interpret=True,
+                                  **pass2_kw)
+        assert bool(jnp.all(out == ref))
+
+    def test_t_k_small_tier_bit_matches(self, rng):
+        """The pass-1 cap tier is pure scheduling: when the small cap
+        holds, when it overflows into the full-cap kernel tier, and
+        when both overflow into the XLA path, the output bit-matches
+        the oracle."""
+        from tpuslam.ops import merge_resample_rows
+
+        n = n_pad = 2048
+        # (a) degenerate weights: few survivors -> small tier taken.
+        w_row = self._weights(rng, n, n_pad, 8.0)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(5)
+        ref = self._oracle(key, p, w_row, n)
+        out = merge_resample_rows(key, p, w_row, n, t_in=512, t_k=512,
+                                  t_out=512, w_b=4, t_k_small=128,
+                                  interpret=True)
+        assert bool(jnp.all(out == ref))
+        # (b) ~160 survivors/tile: overflows t_k_small=128, fits
+        # t_k=512 -> full kernel tier.
+        w = np.zeros(n_pad, np.float64)
+        w[::3] = 1.0  # ~171 survivors per 512-lane tile
+        w /= w.sum()
+        w_row = jnp.asarray(w, jnp.float32)[None]
+        ref = self._oracle(key, p, w_row, n)
+        out = merge_resample_rows(key, p, w_row, n, t_in=512, t_k=512,
+                                  t_out=512, w_b=8, t_k_small=128,
+                                  interpret=True)
+        assert bool(jnp.all(out == ref))
+        # (c) uniform: overflows both caps -> XLA fallback.
+        w_row = jnp.full((1, n_pad), 1.0 / n, jnp.float32)
+        ref = self._oracle(key, p, w_row, n)
+        out = merge_resample_rows(key, p, w_row, n, t_in=512, t_k=256,
+                                  t_out=512, w_b=4, t_k_small=128,
+                                  interpret=True)
+        assert bool(jnp.all(out == ref))
+
+    @pytest.mark.parametrize("pattern", ["clustered", "exact_full",
+                                         "alternating"])
+    def test_pass2_compressed_skip_patterns(self, rng, pattern):
+        """Adversarial survivor layouts through the compressed pass 2:
+        super-ref alignment must cover runs that straddle a ``w_b``
+        boundary."""
+        from tpuslam.ops import merge_resample_rows
+
+        n = n_pad = 2048
+        t_in = 256
+        w = np.zeros(n_pad, np.float64)
+        if pattern == "clustered":
+            w[512:520] = 1.0
+        elif pattern == "exact_full":
+            w[0:128] = 1.0
+            w[1024] = 128.0
+        else:
+            for j in range(0, n_pad // t_in, 2):
+                w[j * t_in:j * t_in + 5] = 1.0
+        w /= w.sum()
+        w_row = jnp.asarray(w, jnp.float32)[None, :]
+        w_row = w_row / jnp.sum(w_row)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        key = jax.random.key(43)
+        ref = self._oracle(key, p, w_row, n)
+        for kw in ({"pass2": "compressed"}, {"w_b_small": 2}):
+            out = merge_resample_rows(key, p, w_row, n, t_in=t_in,
+                                      t_k=256, t_out=256, w_b=4,
+                                      interpret=True, **kw)
+            assert bool(jnp.all(out == ref))
+
     def test_fused_step_merge_equals_hist(self, rng):
         """pf_fused_step_stats with resample_method="merge" is
         bit-identical to "hist" on the resample branch (noise-free)."""
@@ -1011,6 +1104,29 @@ class TestPfBatchWide:
             got = np.asarray(st2.particles)[:, f * np_:f * np_ + n]
             np.testing.assert_allclose(got[0], x, atol=1e-5)
             np.testing.assert_allclose(got[1], y, atol=1e-5)
+
+    def test_pass2_compressed_matches_windowed(self):
+        """Wide pass B over the compressed stack (two super-refs) is
+        bit-identical to the windowed pass B, firing filters mixed with
+        idle ones and padding lanes (np_ > n) in play."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_batch_pallas import pf_batch_wide_step
+
+        b, tile_n = 6, 256
+        cfg = PfConfig(num_particles=1000, weight_mode="log")
+        st = self._mixed_state(cfg, b, tile_n, (1, 4, 5))
+        kw = dict(tile_n=tile_n, noise_on=False, interpret=True)
+        st_w, out_w = pf_batch_wide_step(cfg, st, jax.random.key(11), 1,
+                                         **kw)
+        st_c, out_c = pf_batch_wide_step(cfg, st, jax.random.key(11), 1,
+                                         pass2="compressed", **kw)
+        assert int(np.asarray(out_w.resampled).sum()) == 3
+        np.testing.assert_array_equal(np.asarray(st_w.particles),
+                                      np.asarray(st_c.particles))
+        np.testing.assert_array_equal(np.asarray(st_w.log_w),
+                                      np.asarray(st_c.log_w))
+        np.testing.assert_array_equal(np.asarray(st_w.x_est),
+                                      np.asarray(st_c.x_est))
 
     def test_padding_lanes_match_xla_fallback(self):
         """num_particles not a tile_n multiple (np_ >= n + 2) with >= 2

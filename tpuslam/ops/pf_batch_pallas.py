@@ -719,6 +719,52 @@ def _wide_compact_kernel(fids_ref, inv_ref, offs_ref,
             cnt_ref[0, sid] = 0
 
 
+def _wide_compact_seg_kernel(fids_ref, inv_ref, offs_ref,
+                             valid_ref, x_ref, y_ref, yaw_ref, wq_ref,
+                             cum_ref, out_ref, cnt_ref, *, t_k: int,
+                             n: int, w_tiles: int, g_a: int,
+                             tile_n: int):
+    """Segment-packed pass A (:func:`tile_boundary_compact_seg`).
+
+    Same grid/slot/key scheme as :func:`_wide_compact_kernel`, but the
+    particle/weight/prefix planes arrive as free XLA ``(rows, 128)``
+    bitcasts and the whole tile body runs at full sublane occupancy
+    with zero in-kernel relayouts (the flat kernel's (1, tile_n) rows
+    ran every VPU op at 1/8 occupancy and paid ~0.2 us per relayout -
+    scripts/tpu_pf_ablate_r4d.py).  Selection and values bit-match the
+    flat kernel (CPU interpret tests pin it).
+    """
+    from tpuslam.ops.resample_pallas import tile_boundary_compact_seg
+
+    c = pl.program_id(0)
+    wc = pl.program_id(1)
+    koff = ((c % _SLOT_MOD).astype(jnp.float32)
+            * jnp.float32(w_tiles * tile_n + 1))
+    live = valid_ref[c] > 0
+    s_tile = tile_n // 128
+    krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, 128), 0)
+            .astype(jnp.float32))
+
+    for u in range(g_a):
+        w = wc * g_a + u
+        sid = c * w_tiles + w
+        sl = slice(u * s_tile, (u + 1) * s_tile)
+
+        @pl.when(live)
+        def _go(w=w, sid=sid, sl=sl, u=u):
+            out, cnt = tile_boundary_compact_seg(
+                wq_ref[sl, :],
+                (x_ref[sl, :], y_ref[sl, :], yaw_ref[sl, :]),
+                None, inv_ref[c], offs_ref[c], w * tile_n, n, t_k,
+                key_offset=koff, cum_in=cum_ref[sl, :], krow=krow)
+            out_ref[:, u * t_k:(u + 1) * t_k] = out
+            cnt_ref[0, sid] = cnt.astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(live))
+        def _skip(sid=sid):
+            cnt_ref[0, sid] = 0
+
+
 def _wide_stats_kernel(*refs, cfg: PfConfig, noise_on: bool,
                        c_cells: int, np8: int, sub_rows: int,
                        fused: bool = False):
@@ -861,13 +907,15 @@ def _combine_wide_stats(parts, b: int, w_tiles: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "tile_n", "noise_on",
                                              "interpret", "fire_cap",
                                              "w_b", "fire_cap_small",
-                                             "t_k"))
+                                             "t_k", "pass2",
+                                             "pass_a", "w_b_small"))
 def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                        tile_n: int = 1024, noise_on: bool = True,
                        interpret: bool = False,
                        fire_cap: int | None = None, w_b: int = 12,
                        fire_cap_small: int | None = None,
-                       t_k: int | None = None):
+                       t_k: int | None = None, pass2: str = "windowed",
+                       pass_a: str = "flat", w_b_small: int = 8):
     """One step of B wide filters (main_pf order: resample -> predict ->
     observe -> weight -> estimate).
 
@@ -905,6 +953,11 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
             survivors span more fall back).  Default matches the
             single-filter :func:`merge_caps` choice; 4 overflowed on
             typical post-gate survivor spreads (see above).
+        pass2: ``"windowed"`` = pass B fetches ``w_b`` window-block
+            refs per output tile (:func:`expand_compacted`);
+            ``"compressed"`` = XLA block-compression + two wide
+            super-refs per tile (:func:`expand_compressed`) - same
+            selection bit-for-bit, ~6x fewer pass-B DMAs.
         fire_cap_small: static slot count of the SMALL kernel tier
             (default ``max(8, B // 4)``, clipped to ``fire_cap``).  The
             resample cost is O(cap * N) per firing step regardless of
@@ -1040,45 +1093,87 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                         g_a = d
                         break
                 wcells = w_tiles // g_a
-                tc, cnt = pl.pallas_call(
-                    functools.partial(_wide_compact_kernel, t_k=t_k, n=n,
-                                      w_tiles=w_tiles, g_a=g_a,
-                                      tile_n=tile_n),
-                    grid_spec=pltpu.PrefetchScalarGridSpec(
-                        num_scalar_prefetch=4,
-                        grid=(cap_t, wcells),
-                        in_specs=[
-                            pl.BlockSpec(
-                                (3, g_a * tile_n),
-                                lambda c, w, fids, *_: (
-                                    0, fids[c] * wcells + w),
-                                memory_space=pltpu.VMEM),
-                            pl.BlockSpec(
-                                (1, g_a * tile_n),
-                                lambda c, w, *_: (0, c * wcells + w),
-                                memory_space=pltpu.VMEM),
-                            pl.BlockSpec(
-                                (1, g_a * tile_n),
-                                lambda c, w, *_: (0, c * wcells + w),
-                                memory_space=pltpu.VMEM),
-                        ],
-                        out_specs=[
-                            pl.BlockSpec(
-                                (15, g_a * t_k),
-                                lambda c, w, *_: (0, c * wcells + w),
-                                memory_space=pltpu.VMEM),
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                        ],
-                    ),
-                    out_shape=[
-                        jax.ShapeDtypeStruct((15, cap_t * w_tiles * t_k),
-                                             jnp.bfloat16),
-                        jax.ShapeDtypeStruct((1, cap_t * w_tiles),
-                                             jnp.int32),
-                    ],
-                    interpret=interpret,
-                )(fids, inv_slot, offs_slot, valid_slot, p_flat,
-                  wq_rows, cum_rows)
+                out_specs = [
+                    pl.BlockSpec(
+                        (15, g_a * t_k),
+                        lambda c, w, *_: (0, c * wcells + w),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ]
+                out_shape = [
+                    jax.ShapeDtypeStruct((15, cap_t * w_tiles * t_k),
+                                         jnp.bfloat16),
+                    jax.ShapeDtypeStruct((1, cap_t * w_tiles),
+                                         jnp.int32),
+                ]
+                if pass_a == "seg" and tile_n % 256 == 0:
+                    # Segment-packed pass A: free XLA bitcasts to
+                    # (rows, 128) planes, full-occupancy tile body.
+                    # NOT the default: the seg tile body runs s_tile
+                    # small one-hot dots per tile where the flat body
+                    # runs one wide dot, and at the wide kernel's tiny
+                    # per-tile FLOPs the dot-count overhead outweighs
+                    # the occupancy win (measured: 9.29 vs 8.7 ms/step
+                    # at 1024x10k default gate).
+                    s_tile = tile_n // 128
+                    pseg = pl.BlockSpec(
+                        (g_a * s_tile, 128),
+                        lambda c, w, fids, *_: (
+                            fids[c] * wcells + w, 0),
+                        memory_space=pltpu.VMEM)
+                    wseg = pl.BlockSpec(
+                        (g_a * s_tile, 128),
+                        lambda c, w, *_: (c * wcells + w, 0),
+                        memory_space=pltpu.VMEM)
+                    tc, cnt = pl.pallas_call(
+                        functools.partial(
+                            _wide_compact_seg_kernel, t_k=t_k, n=n,
+                            w_tiles=w_tiles, g_a=g_a, tile_n=tile_n),
+                        grid_spec=pltpu.PrefetchScalarGridSpec(
+                            num_scalar_prefetch=4,
+                            grid=(cap_t, wcells),
+                            in_specs=[pseg, pseg, pseg, wseg, wseg],
+                            out_specs=out_specs,
+                        ),
+                        out_shape=out_shape,
+                        interpret=interpret,
+                    )(fids, inv_slot, offs_slot, valid_slot,
+                      p_flat[0].reshape(-1, 128),
+                      p_flat[1].reshape(-1, 128),
+                      p_flat[2].reshape(-1, 128),
+                      wq_rows.reshape(-1, 128),
+                      cum_rows.reshape(-1, 128))
+                else:
+                    tc, cnt = pl.pallas_call(
+                        functools.partial(
+                            _wide_compact_kernel, t_k=t_k, n=n,
+                            w_tiles=w_tiles, g_a=g_a, tile_n=tile_n),
+                        grid_spec=pltpu.PrefetchScalarGridSpec(
+                            num_scalar_prefetch=4,
+                            grid=(cap_t, wcells),
+                            in_specs=[
+                                pl.BlockSpec(
+                                    (3, g_a * tile_n),
+                                    lambda c, w, fids, *_: (
+                                        0, fids[c] * wcells + w),
+                                    memory_space=pltpu.VMEM),
+                                pl.BlockSpec(
+                                    (1, g_a * tile_n),
+                                    lambda c, w, *_: (
+                                        0, c * wcells + w),
+                                    memory_space=pltpu.VMEM),
+                                pl.BlockSpec(
+                                    (1, g_a * tile_n),
+                                    lambda c, w, *_: (
+                                        0, c * wcells + w),
+                                    memory_space=pltpu.VMEM),
+                            ],
+                            out_specs=out_specs,
+                        ),
+                        out_shape=out_shape,
+                        interpret=interpret,
+                    )(fids, inv_slot, offs_slot, valid_slot, p_flat,
+                      wq_rows, cum_rows)
                 cnt = cnt[0]
 
                 # --- skip table over slot space: the shared
@@ -1113,10 +1208,51 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                     # self-mask.
                     i0_key = (((ot // gp_w) % _SLOT_MOD) * (np_ + 1)
                               + i0_loc)
-                    out = expand_compacted(
-                        tc15t, sb, span, blk_ids, i0_key, cap_t * np_,
-                        tile_q, wb2, w_b, interpret=interpret,
-                        n_alloc_pad=b * np_)
+                    if pass2 == "compressed":
+                        from tpuslam.ops.resample_pallas import (
+                            compress_blocks, expand_compressed)
+
+                        comp = compress_blocks(tc15t, blk_ids, wb2, w_b)
+                        out = expand_compressed(
+                            comp, sb, span, i0_key, cap_t * np_, tile_q,
+                            wb2, w_b, interpret=interpret,
+                            n_alloc_pad=b * np_)
+                    elif 0 < w_b_small < w_b:
+                        # Two-tier window cap: most firing steps'
+                        # survivor spans fit w_b_small refs/tile
+                        # (measured +5% at 1024x10k with w_b=8,
+                        # scripts/tpu_wide_ablate_r4.py); the rare
+                        # wider span takes the full-w_b kernel via
+                        # lax.cond at kernel speed instead of risking
+                        # the ~280 ms all-filter XLA fallback.
+                        n_blk_t = cnt.shape[0] * nw + w_b
+                        le_t = sb + span - 1
+                        sb_s = jnp.minimum(sb, n_blk_t - w_b_small)
+                        span_s = jnp.clip(le_t - sb_s + 1, 1,
+                                          w_b_small)
+
+                        def exp_small(_):
+                            return expand_compacted(
+                                tc15t, sb_s, span_s, blk_ids, i0_key,
+                                cap_t * np_, tile_q, wb2, w_b_small,
+                                interpret=interpret,
+                                n_alloc_pad=b * np_)
+
+                        def exp_full(_):
+                            return expand_compacted(
+                                tc15t, sb, span, blk_ids, i0_key,
+                                cap_t * np_, tile_q, wb2, w_b,
+                                interpret=interpret,
+                                n_alloc_pad=b * np_)
+
+                        out = jax.lax.cond(
+                            jnp.max(need) <= w_b_small, exp_small,
+                            exp_full, 0)
+                    else:
+                        out = expand_compacted(
+                            tc15t, sb, span, blk_ids, i0_key,
+                            cap_t * np_, tile_q, wb2, w_b,
+                            interpret=interpret, n_alloc_pad=b * np_)
                     if r > 1:
                         out = out.reshape(3, b * r, np8)  # free bitcast
                     return out, jnp.clip(pos, 0, b - 1)
@@ -1277,7 +1413,9 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           fire_cap: int | None = None, w_b: int = 12,
                           fire_cap_small: int | None = None,
                           sub_rows: int | None = None, seed0=1,
-                          t_k: int | None = None):
+                          t_k: int | None = None,
+                          pass2: str = "windowed",
+                          pass_a: str = "flat", w_b_small: int = 8):
     """``n_steps`` wide batched steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs pass C into 8 vreg-sublane planes per
@@ -1301,7 +1439,9 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                                      interpret=interpret,
                                      fire_cap=fire_cap, w_b=w_b,
                                      fire_cap_small=fire_cap_small,
-                                     t_k=t_k)
+                                     t_k=t_k, pass2=pass2,
+                                     pass_a=pass_a,
+                                     w_b_small=w_b_small)
         return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(

@@ -486,6 +486,123 @@ def expand_compacted(tc15, sb, span, blk_ids, i0, n_out_pad: int,
     )(sb, span, blk_ids, i0, *([tc15] * w_b))
 
 
+def _expand_compressed_kernel(sb_ref, span_ref, i0_ref, tca_ref, tcb_ref,
+                              out_ref, *, t_out: int, wb2: int, w_b: int):
+    """Pass 2 over a pre-compressed stack: two WIDE window fetches.
+
+    Same expansion math as :func:`_expand_kernel`, but the compacted
+    stack was block-compressed in XLA first (:func:`compress_blocks`),
+    so an output tile's feeder run ``[sb, sb + span)`` is CONTIGUOUS:
+    two aligned ``w_b``-block super-refs (``tca`` = super ``sb // w_b``,
+    ``tcb`` = the next) always cover it.  That replaces ``w_b`` separate
+    ``(15, wb2)`` ref fetches per output tile (~12k small DMAs per
+    firing at 2M, the pass-2 floor - scripts/tpu_pf_ablate_r4d.py) with
+    two ``(15, w_b * wb2)`` fetches.  The per-block dots stay ``wb2``
+    wide and gated on the run, so MXU work is unchanged; accumulation
+    order over blocks is the global block order, and every output slot
+    receives exactly one lane's (exactly reconstructed) value, so the
+    result is bit-identical to :func:`expand_compacted`.
+    """
+    b = pl.program_id(0)
+
+    def store(v, accum=False):
+        if accum:
+            out_ref[:, :] += v
+        else:
+            out_ref[:, :] = v
+
+    store(jnp.zeros((3, t_out), out_ref.dtype))
+    sb = sb_ref[b]
+    span = span_ref[b]
+    sup0 = (sb // w_b) * w_b  # first block id held by tca
+    i = (jax.lax.broadcasted_iota(jnp.int32, (t_out, wb2), 0)
+         + i0_ref[b]).astype(jnp.float32)
+
+    for w in range(2 * w_b):
+        g = sup0 + w
+        ref = tca_ref if w < w_b else tcb_ref
+        off = (w % w_b) * wb2
+
+        @pl.when((g >= sb) & (g < sb + span))
+        def _accumulate(ref=ref, off=off):
+            t_hi = (ref[9:10, off:off + wb2].astype(jnp.float32)
+                    + ref[10:11, off:off + wb2].astype(jnp.float32)
+                    + ref[11:12, off:off + wb2].astype(jnp.float32))
+            t_lo = (ref[12:13, off:off + wb2].astype(jnp.float32)
+                    + ref[13:14, off:off + wb2].astype(jnp.float32)
+                    + ref[14:15, off:off + wb2].astype(jnp.float32))
+            m = ((i >= t_lo) & (i < t_hi)).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                ref[0:9, off:off + wb2], m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (9, t_out) f32
+            store(jnp.concatenate(
+                [part[3 * v:3 * v + 1] + part[3 * v + 1:3 * v + 2]
+                 + part[3 * v + 2:3 * v + 3] for v in range(3)], axis=0),
+                accum=True)
+
+
+def compress_blocks(tc15, blk_ids, wb2: int, w_b: int):
+    """XLA block-compression of the compacted stack (one ``take``).
+
+    Gathers the nonempty ``(15, wb2)`` window blocks (ids from
+    :func:`skip_table`) to the front, padded with inert tail blocks to
+    a ``w_b``-aligned length + one spare super-block so the expansion
+    kernel's second wide ref never reads out of range.
+
+    Returns the ``(15, n_cblk * wb2)`` compressed stack.
+    """
+    rows, lanes = tc15.shape
+    n_blk = lanes // wb2
+    n_comp_max = blk_ids.shape[0] - w_b  # skip_table's id-table length
+    # Cover super blocks 0 .. (max sb)//w_b + 1 inclusive: max sb is
+    # n_comp_max (skip_table clips to n_blk - w_b), so the last lane
+    # touched is < (n_comp_max // w_b + 2) * w_b.
+    n_cblk = (n_comp_max // w_b + 2) * w_b
+    ids = jnp.concatenate([
+        blk_ids,
+        jnp.full((n_cblk - blk_ids.shape[0],), n_comp_max, jnp.int32),
+    ]) if n_cblk > blk_ids.shape[0] else blk_ids[:n_cblk]
+    blocks = tc15.reshape(rows, n_blk, wb2)
+    return jnp.take(blocks, ids, axis=1).reshape(rows, n_cblk * wb2)
+
+
+def expand_compressed(comp, sb, span, i0, n_out_pad: int, t_out: int,
+                      wb2: int, w_b: int, interpret: bool = False,
+                      n_alloc_pad: int | None = None):
+    """Pass-2 call over a :func:`compress_blocks` stack.
+
+    Output contract matches :func:`expand_compacted` bit-for-bit (same
+    dots in the same block order); only the fetch pattern differs (two
+    wide super-refs per output tile instead of ``w_b`` block refs).
+    ``sb``/``span`` address COMPRESSED block ids - i.e. exactly the
+    :func:`skip_table` outputs, which already live in compressed space.
+    """
+    nt_out = n_out_pad // t_out
+    na = (n_alloc_pad if n_alloc_pad is not None else n_out_pad) // t_out
+    wide = pl.BlockSpec(
+        (_ROWS, w_b * wb2), lambda b, sb, span, i0: (0, sb[b] // w_b),
+        memory_space=pltpu.VMEM)
+    wide_next = pl.BlockSpec(
+        (_ROWS, w_b * wb2),
+        lambda b, sb, span, i0: (0, sb[b] // w_b + 1),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (3, t_out), lambda b, sb, span, i0: (0, b),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_expand_compressed_kernel, t_out=t_out,
+                          wb2=wb2, w_b=w_b),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nt_out,),
+            in_specs=[wide, wide_next],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, na * t_out), jnp.float32),
+        interpret=interpret,
+    )(sb, span, i0, comp, comp)
+
+
 def _hprefix_exact(parts, t_in: int):
     """Strict (exclusive) prefix of one row of exact integers.
 
@@ -642,8 +759,155 @@ def tile_boundary_compact(wq, p3, base, inv_tot, offs, lane0, n: int,
     return jnp.where(live, compact.astype(jnp.bfloat16), fill), cnt
 
 
+def _hprefix_exact_seg(parts):
+    """Segment-shaped twin of :func:`_hprefix_exact`'s hierarchical
+    branch: ``parts`` are ``(S, 128)`` exact-integer split parts in
+    row-major flat order; returns the ``(S, 128)`` f32 exclusive prefix.
+
+    Identical op sequence (per-128-lane triangular matmul + log-step
+    sublane prefix) minus the ``(1, S*128) <-> (S, 128)`` reshapes,
+    which cost ~0.2 us each as in-kernel relayout shuffles (CLAUDE.md)
+    - the dominant cost of the flat pass-1 boundary build at 2M
+    (scripts/tpu_pf_ablate_r4d.py: boundary-only 1.7 ms/call).
+    Bit-exact: every partial sum of integers < 2**24 is exact in f32 in
+    any order.
+    """
+    k = len(parts)
+    s_rows = parts[0].shape[0]
+    lt = _strict_lt(128)
+    exs = jax.lax.dot_general(
+        jnp.concatenate(parts, axis=0), lt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (k*S, 128)
+    ex = exs[0:s_rows]
+    for j in range(1, k):
+        ex = ex + exs[j * s_rows:(j + 1) * s_rows]
+    last = parts[0][:, 127:128].astype(jnp.float32)
+    for j in range(1, k):
+        last = last + parts[j][:, 127:128].astype(jnp.float32)
+    rt = jnp.broadcast_to(ex[:, 127:128] + last, (s_rows, 128))
+    acc = rt
+    s = 1
+    while s < s_rows:
+        acc = acc + jnp.concatenate(
+            [jnp.zeros((s, 128), jnp.float32), acc[:s_rows - s]],
+            axis=0)
+        s *= 2
+    return ex + (acc - rt)
+
+
+def tile_boundary_compact_seg(wq, p3, base, inv_tot, offs, lane0, n: int,
+                              t_k: int, key_offset=None, cum_in=None,
+                              krow=None):
+    """Segment-packed twin of :func:`tile_boundary_compact`.
+
+    Same math per flat lane ``j = s * 128 + l`` - the boundary law,
+    clip/forcing, survivor flag, and exact-integer prefixes are
+    elementwise or order-exact, so selection and values are
+    bit-identical to the flat form - but every operand is ``(S, 128)``
+    (``S = t_in // 128`` sublane segments): full f32 vreg occupancy
+    (the flat ``(1, t_in)`` rows ran at 1/8) and ZERO in-kernel
+    relayouts (inputs arrive as free XLA bitcast reshapes).  The
+    compaction matmul runs as ``S`` per-segment ``(15, 128) @
+    (128, t_k)`` one-hot dots accumulated in f32: ranks are globally
+    unique one-hots, so every output element receives exactly one
+    nonzero product and the segmented sum is exact in any order.
+
+    Args:
+        wq: ``(S, 128)`` exact integer quantized weights.
+        p3: tuple of three ``(S, 128)`` particle planes (x, y, yaw).
+        krow: optional hoisted ``(t_k, 128)`` f32 iota (dim 0).
+        Everything else as :func:`tile_boundary_compact`.
+
+    Returns:
+        ``(out_block (15, t_k) bf16, cnt scalar f32)``.
+    """
+    from tpuslam.filters.pf import boundary_law
+
+    s_rows = wq.shape[0]
+    if cum_in is None:
+        wh, wm, wl = split3_kernel(wq)
+        cum_ex = _hprefix_exact_seg([wh, wm, wl]) + base
+        cum_in = cum_ex + wq  # inclusive prefix, exact
+    else:
+        cum_ex = cum_in - wq  # exact: both are integers < 2^24
+
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (s_rows, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (s_rows, 128), 1)
+            + lane0)
+    nf = jnp.float32(n)
+
+    def bound(cum, force_ge):
+        t = boundary_law(cum, inv_tot, nf, offs)
+        t = jnp.clip(t, 0.0, nf)
+        return jnp.where(lane >= force_ge, nf, t)
+
+    t_hi = bound(cum_in, n - 1)  # slot_boundaries forcing: t[n-1] = n
+    t_lo = bound(cum_ex, n)  # previous lane's t_hi, incl. its forcing
+
+    f = (t_hi > t_lo).astype(jnp.float32)  # (S, 128) 0/1
+    if key_offset is not None:
+        t_hi = t_hi + key_offset
+        t_lo = t_lo + key_offset
+    rank = _hprefix_exact_seg([f.astype(jnp.bfloat16)])
+    cnt = rank[s_rows - 1, 127] + f[s_rows - 1, 127]
+
+    if krow is None:
+        krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, 128), 0)
+                .astype(jnp.float32))
+    rank_m = jnp.where(f > 0, rank, jnp.float32(-1.0))
+
+    # Per-variable exact bf16 splits, still (S, 128).
+    splits = []
+    for v in (p3[0], p3[1], p3[2], t_hi, t_lo):
+        splits.extend(split3_kernel(v))  # variable-major [hi mid lo]
+
+    compact = None
+    vals_s = None
+    for s in range(s_rows):
+        sel_s = (krow == rank_m[s:s + 1, :]).astype(jnp.bfloat16)
+        vals_s = jnp.concatenate([v[s:s + 1, :] for v in splits],
+                                 axis=0)  # (15, 128) bf16
+        part = jax.lax.dot_general(
+            vals_s, sel_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (15, t_k)
+        compact = part if compact is None else compact + part
+
+    kcol = (jax.lax.broadcasted_iota(jnp.int32, (1, t_k), 1)
+            .astype(jnp.float32))
+    live = kcol < cnt
+    fill_src = vals_s[:, 127:128]  # (15, 1) last input lane
+    fill = jnp.concatenate([fill_src[0:12], fill_src[9:12]], axis=0)
+    return jnp.where(live, compact.astype(jnp.bfloat16), fill), cnt
+
+
+def _boundary_compact_seg_kernel(base_ref, par_ref, lane0_ref, x_ref,
+                                 y_ref, yaw_ref, wq_ref, out_ref,
+                                 cnt_ref, *, t_k: int, n: int, t_in: int,
+                                 g_p1: int):
+    """Segment-packed fused pass 1 (see :func:`tile_boundary_compact_seg`).
+
+    Inputs arrive pre-bitcast from XLA as ``(n_pad // 128, 128)`` f32
+    planes (row-major = flat lane order, so the reshape is free);
+    blocks cover ``g_p1`` tiles = ``g_p1 * t_in // 128`` segment rows.
+    """
+    c = pl.program_id(0)
+    s_tile = t_in // 128
+    krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, 128), 0)
+            .astype(jnp.float32))
+    for u in range(g_p1):
+        b = c * g_p1 + u
+        sl = slice(u * s_tile, (u + 1) * s_tile)
+        out, cnt = tile_boundary_compact_seg(
+            wq_ref[sl, :], (x_ref[sl, :], y_ref[sl, :], yaw_ref[sl, :]),
+            base_ref[b], par_ref[0], par_ref[1], lane0_ref[b], n, t_k,
+            krow=krow)
+        out_ref[:, u * t_k:(u + 1) * t_k] = out
+        cnt_ref[0, b] = cnt.astype(jnp.int32)
+
+
 def _boundary_compact_kernel(base_ref, par_ref, lane0_ref, p_ref, wq_ref,
-                             out_ref, cnt_ref, *, t_k: int, n: int):
+                             out_ref, cnt_ref, *, t_k: int, n: int,
+                             t_in: int, g_p1: int):
     """Fused pass 1: in-tile boundary build + survivor compaction.
 
     Replaces the XLA glue of the unfused path (global ``quantized_cum``
@@ -666,19 +930,32 @@ def _boundary_compact_kernel(base_ref, par_ref, lane0_ref, p_ref, wq_ref,
     was NOT: Mosaic's f32 division rounds differently from XLA's on
     ~1e-3 of lanes - measured on v5e, scripts/tpu_parity_probe.py.)
 
-    Outputs: the compacted ``(15, t_k)`` bf16 block (same layout and
-    inert-fill convention as :func:`_compact_kernel`) and the tile's
-    survivor count (SMEM scalar, feeds the skip table + cap predicate).
+    Each grid cell covers ``g_p1`` consecutive input tiles (unrolled):
+    the one-tile-per-cell grid paid the ~0.5-1 us fixed per-cell cost
+    on every tile (the same floor the wide pass A / pass C chunking
+    removed - scripts/tpu_wide_profile4.py); the per-tile math is
+    unchanged, so selection is bit-identical for any ``g_p1``.
+
+    Outputs: the compacted ``(15, t_k)`` bf16 blocks (same layout and
+    inert-fill convention as :func:`_compact_kernel`) and the per-tile
+    survivor counts (SMEM, feed the skip table + cap predicate).
     """
-    b = pl.program_id(0)
-    out, cnt = tile_boundary_compact(
-        wq_ref[0:1, :], p_ref[:, :], base_ref[b], par_ref[0], par_ref[1],
-        lane0_ref[b], n, t_k)
-    out_ref[:, :] = out
-    # cnt rides an UNBLOCKED SMEM output (whole (1, nt_in) row visible,
-    # one slot written per grid step): Mosaic rejects (1, 1)-blocked
-    # output specs on hardware (block dims must divide (8, 128)).
-    cnt_ref[0, b] = cnt.astype(jnp.int32)
+    c = pl.program_id(0)
+    # Cell-invariant one-hot row index, built once per cell.
+    krow = (jax.lax.broadcasted_iota(jnp.int32, (t_k, t_in), 0)
+            .astype(jnp.float32))
+    for u in range(g_p1):
+        b = c * g_p1 + u
+        sl = slice(u * t_in, (u + 1) * t_in)
+        out, cnt = tile_boundary_compact(
+            wq_ref[0:1, sl], p_ref[:, sl], base_ref[b], par_ref[0],
+            par_ref[1], lane0_ref[b], n, t_k, krow=krow)
+        out_ref[:, u * t_k:(u + 1) * t_k] = out
+        # cnt rides an UNBLOCKED SMEM output (whole (1, nt_in) row
+        # visible, one slot written per step): Mosaic rejects
+        # (1, 1)-blocked output specs on hardware (block dims must
+        # divide (8, 128)).
+        cnt_ref[0, b] = cnt.astype(jnp.int32)
 
 
 def quantize_weights(w_row, n: int, t_in: int):
@@ -702,9 +979,19 @@ def quantize_weights(w_row, n: int, t_in: int):
     return wq, base, cum_tiles[-1]
 
 
+def _pick_chunk(nt: int, t_lanes: int, budget: int = 16384) -> int:
+    """Largest divisor ``g`` of ``nt`` with ``g * t_lanes <= budget``."""
+    g = 1
+    for d in range(nt, 0, -1):
+        if nt % d == 0 and d * t_lanes <= budget:
+            g = d
+            break
+    return g
+
+
 def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
                                t_k: int, interpret: bool = False,
-                               precomputed=None):
+                               precomputed=None, packed: bool = True):
     """Fused pass-1 call: quantize (XLA) + boundary/compact (kernel).
 
     Selection is bit-identical to :func:`boundary_decode` +
@@ -720,6 +1007,11 @@ def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
             ``q_tot`` the global total, and ``lane0`` each tile's global
             first-lane id (all exact integers, so the distributed prefix
             reproduces the global cumsum bit-for-bit).
+        packed: run the segment-packed kernel
+            (:func:`tile_boundary_compact_seg`: full sublane occupancy,
+            no in-kernel relayouts) when ``t_in`` is a multiple of 256.
+            Bit-identical selection and values; False keeps the flat
+            kernel (A/B measurement).
     """
     n_pad = p_rows.shape[1]
     nt_in = n_pad // t_in
@@ -733,27 +1025,52 @@ def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
     # kernel breaks bit-parity with the XLA decode.
     inv_tot = 1.0 / q_tot.astype(jnp.float32)
     params = jnp.stack([inv_tot, offs.astype(jnp.float32)])
+    g_p1 = _pick_chunk(nt_in, t_in)
+    common = dict(t_k=t_k, n=n, t_in=t_in, g_p1=g_p1)
+    out_specs = [
+        pl.BlockSpec((_ROWS, g_p1 * t_k), lambda b, *_: (0, b),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((_ROWS, nt_in * t_k), jnp.bfloat16),
+        jax.ShapeDtypeStruct((1, nt_in), jnp.int32),
+    ]
+    if packed and t_in % 256 == 0:
+        # Free bitcast reshapes: (1, n_pad) / (3, n_pad) row-major ->
+        # (n_pad // 128, 128) segment planes in the same linear order.
+        p32 = p_rows.astype(jnp.float32)
+        seg = lambda row: row.reshape(n_pad // 128, 128)  # noqa: E731
+        s_blk = g_p1 * t_in // 128
+        seg_spec = pl.BlockSpec((s_blk, 128), lambda b, *_: (b, 0),
+                                memory_space=pltpu.VMEM)
+        tc, cnt = pl.pallas_call(
+            functools.partial(_boundary_compact_seg_kernel, **common),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nt_in // g_p1,),
+                in_specs=[seg_spec] * 4,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(base.astype(jnp.float32), params, lane0.astype(jnp.int32),
+          seg(p32[0]), seg(p32[1]), seg(p32[2]), seg(wq))
+        return tc, cnt[0]
     tc, cnt = pl.pallas_call(
-        functools.partial(_boundary_compact_kernel, t_k=t_k, n=n),
+        functools.partial(_boundary_compact_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nt_in,),
+            grid=(nt_in // g_p1,),
             in_specs=[
-                pl.BlockSpec((3, t_in), lambda b, *_: (0, b),
+                pl.BlockSpec((3, g_p1 * t_in), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t_in), lambda b, *_: (0, b),
+                pl.BlockSpec((1, g_p1 * t_in), lambda b, *_: (0, b),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((_ROWS, t_k), lambda b, *_: (0, b),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            out_specs=out_specs,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((_ROWS, nt_in * t_k), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, nt_in), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(base.astype(jnp.float32), params,
       lane0.astype(jnp.int32), p_rows.astype(jnp.float32), wq)
@@ -809,10 +1126,14 @@ def boundary_decode(w_row, n: int, offs, t_in: int, t_k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t_in", "t_k", "t_out",
-                                             "w_b", "interpret", "fused"))
-def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
-                        t_k: int = 256, t_out: int = 2048, w_b: int = 12,
-                        interpret: bool = False, fused: bool = True):
+                                             "w_b", "interpret", "fused",
+                                             "pass2", "w_b_small",
+                                             "t_k_small"))
+def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 2048,
+                        t_k: int = 512, t_out: int = 2048, w_b: int = 12,
+                        interpret: bool = False, fused: bool = True,
+                        pass2: str = "windowed", w_b_small: int = 0,
+                        t_k_small: int = 256):
     """Systematic resample of row-major particles, merge-kernel fast path.
 
     Drop-in replacement for the ``hist``-method index build + gather on
@@ -836,6 +1157,23 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
             identical selection, no O(N) cumsums or split-stack
             materialization outside the kernel.  False keeps the
             original XLA boundary build (A/B parity testing).
+        pass2: ``"windowed"`` = per-block window refs
+            (:func:`expand_compacted`); ``"compressed"`` = XLA
+            block-compression + two wide super-refs per output tile
+            (:func:`expand_compressed`) - bit-identical outputs, ~6x
+            fewer pass-2 DMAs.
+        w_b_small: if ``0 < w_b_small < w_b``, dispatch the windowed
+            pass 2 through a small tier fetching only ``w_b_small``
+            window refs per tile when every tile's survivor span fits
+            (typical post-gate spans are 2-3 blocks); wider spans take
+            the full-``w_b`` kernel via ``lax.cond``.  Selection is
+            span-cap-invariant, so tiers are pure scheduling.
+        t_k_small: if ``0 < t_k_small < t_k`` (fused windowed path
+            only), run the whole merge at the SMALL survivor cap first
+            - the compact one-hot dot's FLOPs scale with ``t_k`` - and
+            on a per-tile cap overflow re-run pass 1 at the full
+            ``t_k`` via ``lax.cond`` (kernel speed) instead of paying
+            the ~22 ms XLA decode.  Selection is cap-invariant.
 
     Returns:
         ``(3, n_pad)`` resampled particles, padding lanes zero.
@@ -852,6 +1190,40 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
         t_row = slot_boundaries(w_row, n, offs)
         idx = decode_indices(t_row, n)
         return jnp.zeros_like(p_rows).at[:, :n].set(p_rows[:, :n][:, idx])
+
+    if fused and pass2 == "windowed" and not w_b_small \
+            and 0 < t_k_small < t_k:
+        nt_out = n_pad // t_out
+        i0 = jnp.arange(nt_out, dtype=jnp.int32) * t_out
+        i_last = jnp.minimum(i0 + t_out, n) - 1
+
+        def run_at(t_k_eff: int):
+            wb2_eff = min(_WB2, t_k_eff)
+            bc, cnt = boundary_compact_particles(p_rows, w_row, n, offs,
+                                                 t_in, t_k_eff,
+                                                 interpret)
+            tc15 = jnp.concatenate([bc, inert_tail(n, w_b, wb2_eff)],
+                                   axis=1)
+            sb, span, need, blk_ids = skip_table(
+                cnt, tc15, t_k_eff, wb2_eff, w_b, i0, i_last, i0 < n)
+            ok = ((jnp.max(cnt) <= t_k_eff)
+                  & (jnp.max(need) <= w_b))
+
+            def expand(_):
+                out = expand_compacted(tc15, sb, span, blk_ids, i0,
+                                       n_pad, t_out, wb2_eff, w_b,
+                                       interpret)
+                return out.astype(p_rows.dtype)
+
+            return ok, expand
+
+        ok_s, expand_s = run_at(t_k_small)
+
+        def full_tier(_):
+            ok_f, expand_f = run_at(t_k)
+            return jax.lax.cond(ok_f, expand_f, xla_path, 0)
+
+        return jax.lax.cond(ok_s, expand_s, full_tier, 0)
 
     # Pass 1 runs unconditionally (cheap vs the gather it replaces; its
     # output is discarded on fallback).
@@ -872,10 +1244,39 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 1024,
     sb, span, need, blk_ids = skip_table(cnt, tc15, t_k, wb2, w_b, i0,
                                          i_last, i0 < n)
     ok_window = jnp.max(need) <= w_b
+    ok = ok_compact & ok_window
 
-    def expand(_):
+    def expand_full(_):
         out = expand_compacted(tc15, sb, span, blk_ids, i0, n_pad,
                                t_out, wb2, w_b, interpret)
         return out.astype(p_rows.dtype)
 
-    return jax.lax.cond(ok_compact & ok_window, expand, xla_path, 0)
+    if pass2 == "compressed":
+        comp = compress_blocks(tc15, blk_ids, wb2, w_b)
+
+        def expand_c(_):
+            out = expand_compressed(comp, sb, span, i0, n_pad, t_out,
+                                    wb2, w_b, interpret)
+            return out.astype(p_rows.dtype)
+
+        return jax.lax.cond(ok, expand_c, xla_path, 0)
+
+    if 0 < w_b_small < w_b:
+        n_blk = cnt.shape[0] * (t_k // wb2) + w_b
+        le = sb + span - 1
+        sb_s = jnp.minimum(sb, n_blk - w_b_small)
+        span_s = jnp.clip(le - sb_s + 1, 1, w_b_small)
+
+        def expand_small(_):
+            out = expand_compacted(tc15, sb_s, span_s, blk_ids, i0,
+                                   n_pad, t_out, wb2, w_b_small,
+                                   interpret)
+            return out.astype(p_rows.dtype)
+
+        def tiers(_):
+            return jax.lax.cond(jnp.max(need) <= w_b_small,
+                                expand_small, expand_full, 0)
+
+        return jax.lax.cond(ok, tiers, xla_path, 0)
+
+    return jax.lax.cond(ok, expand_full, xla_path, 0)
