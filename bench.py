@@ -106,7 +106,10 @@ def bench_pf(particles=100_000, steps=100):
     return particles * steps / dt
 
 
-def bench_pf_pallas(particles=100_000, steps=100, resample="merge"):
+def bench_pf_pallas(particles=100_000, steps=400, resample="merge"):
+    """400 steps amortize the ~25 ms/call tunnel dispatch (at 100k
+    particles a 100-step call was ~90% dispatch; see
+    scripts/tpu_pf_ablate_r4h.py and STATUS.md round 4b)."""
     from tpuslam.filters import PfConfig
     from tpuslam.ops import pf_fused_rollout
 
@@ -122,9 +125,10 @@ def bench_pf_pallas(particles=100_000, steps=100, resample="merge"):
     return particles * steps / dt
 
 
-def bench_pf_batch(batch=1024, particles=1000, steps=100):
+def bench_pf_batch(batch=1024, particles=1000, steps=400):
     """B independent reference-scale filters, one per kernel tile
-    (in-tile resample; ops/pf_batch_pallas.py)."""
+    (in-tile resample; ops/pf_batch_pallas.py).  400 steps amortize the
+    ~25 ms/call tunnel dispatch (STATUS.md round 4b)."""
     from tpuslam.filters import PfConfig
     from tpuslam.ops import pf_batch_rollout
 
@@ -286,13 +290,13 @@ def main():
         print(f"# scan bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_pallas()
-        print(f"# PF (pallas fused, 100k): {pf_rate:.3e} "
+        print(f"# PF (pallas fused, 100k x 400): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# PF pallas bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_pallas(particles=1_000_000)
-        print(f"# PF (pallas fused, 1M): {pf_rate:.3e} "
+        print(f"# PF (pallas fused, 1M x 400): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# PF pallas 1M bench failed: {e}", file=sys.stderr)
@@ -309,14 +313,14 @@ def main():
         print(f"# PF pallas 2M bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_batch()
-        print(f"# PF (batched fused, 1024x1000): {pf_rate:.3e} "
+        print(f"# PF (batched fused, 1024x1000 x 400): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
         print(roofline.PF_BATCH.analyze(pf_rate), file=sys.stderr)
     except Exception as e:
         print(f"# PF batch bench failed: {e}", file=sys.stderr)
     try:
         pf_rate = bench_pf_batch(batch=8192)
-        print(f"# PF (batched fused, 8192x1000): {pf_rate:.3e} "
+        print(f"# PF (batched fused, 8192x1000 x 400): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
     except Exception as e:
         print(f"# PF batch 8192 bench failed: {e}", file=sys.stderr)
@@ -327,8 +331,8 @@ def main():
     except Exception as e:  # secondary: never break the headline line
         print(f"# PF bench failed: {e}", file=sys.stderr)
     try:
-        pf_rate = bench_pf_batch_wide()
-        print(f"# PF (batched wide fused, 128x10000): {pf_rate:.3e} "
+        pf_rate = bench_pf_batch_wide(steps=400)
+        print(f"# PF (batched wide fused, 128x10000 x 400): {pf_rate:.3e} "
               f"particle-steps/s/chip", file=sys.stderr)
         print(roofline.PF_WIDE.analyze(pf_rate), file=sys.stderr)
     except Exception as e:
