@@ -173,17 +173,10 @@ def bench_graph(n_steps=18, guard="full"):
     every updateEstPose, graph_based_slam.py:494-495); "cheap" uses
     slogdet + a diagonal bound (reported separately).
     """
-    import math
+    from tpuslam.slam import (SlamSceneConfig, reference_course_config,
+                              slam_rollout)
 
-    from tpuslam.models.scan_sensor import ScanConfig
-    from tpuslam.slam import GraphConfig, SlamSceneConfig, slam_rollout
-
-    cfg = GraphConfig(
-        max_times=n_steps + 1, num_landmarks=9,
-        scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
-                        dist_gain=0.05, dir_sigma=math.radians(2.0),
-                        orient_sigma=math.radians(2.0)),
-        guard=guard)
+    cfg = reference_course_config(n_steps, guard=guard)
     scene = SlamSceneConfig()
 
     @jax.jit

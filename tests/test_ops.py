@@ -375,6 +375,36 @@ class TestMergeResampleKernel:
         ref = self._oracle(key, p, w_row, n)
         assert bool(jnp.all(out == ref))
 
+    def test_seg_chunk_sublane_alignment(self, rng):
+        """The packed seg pass-1 only takes chunk sizes whose (S, 128)
+        block sublane count is a multiple of 8 (Mosaic rejects partial
+        blocks on hardware); shapes with no aligned divisor fall back to
+        the flat kernel with identical outputs (ADVICE r4)."""
+        from tpuslam.ops.resample_pallas import (_pick_chunk,
+                                                 boundary_compact_particles)
+
+        # t_in=256 -> g*2 sublane rows per block: need g % 4 == 0.
+        assert _pick_chunk(25, 256, sublane8=True) == 0   # odd divisors only
+        assert _pick_chunk(100, 256, sublane8=True) == 20  # 50 fails, 20 ok
+        assert _pick_chunk(100, 256) == 50
+        # t_in=2048 -> 16 rows/chunk already aligned: any divisor works.
+        assert _pick_chunk(25, 2048, sublane8=True) == 5
+
+        # Functional fallback: n_pad=6400 -> t_in=256, nt_in=25 (no
+        # aligned g).  packed=True must route to the flat kernel and
+        # bit-match packed=False.
+        n, n_pad, t_in, t_k = 6000, 6400, 256, 256
+        w_row = self._weights(rng, n, n_pad, 4.0)
+        p = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+        offs = jax.random.uniform(jax.random.key(7), dtype=jnp.float32)
+        tc_p, cnt_p = boundary_compact_particles(
+            p, w_row, n, offs, t_in, t_k, interpret=True, packed=True)
+        tc_f, cnt_f = boundary_compact_particles(
+            p, w_row, n, offs, t_in, t_k, interpret=True, packed=False)
+        np.testing.assert_array_equal(np.asarray(tc_p), np.asarray(tc_f))
+        np.testing.assert_array_equal(np.asarray(cnt_p),
+                                      np.asarray(cnt_f))
+
     @pytest.mark.parametrize("n,n_pad,scale", [
         (1000, 1024, 8.0),
         (5000, 8192, 0.1),
@@ -1127,6 +1157,34 @@ class TestPfBatchWide:
                                       np.asarray(st_c.log_w))
         np.testing.assert_array_equal(np.asarray(st_w.x_est),
                                       np.asarray(st_c.x_est))
+
+    def test_pass_a_seg_matches_flat(self):
+        """Wide pass A via the segment-packed kernel (pass_a="seg":
+        fids-indexed particle planes + slot-indexed wq/cum planes) is
+        bit-identical to the flat pass A, with firing filters mixed with
+        idle ones and padding lanes (np_ > n) in play.  Covers the wide
+        five-plane BlockSpec plumbing that only the TPU ablation script
+        exercised before (ADVICE r4)."""
+        from tpuslam.filters.pf import PfConfig
+        from tpuslam.ops.pf_batch_pallas import pf_batch_wide_step
+
+        b, tile_n = 6, 256
+        cfg = PfConfig(num_particles=1000, weight_mode="log")
+        st = self._mixed_state(cfg, b, tile_n, (1, 4, 5))
+        kw = dict(tile_n=tile_n, noise_on=False, interpret=True)
+        st_f, out_f = pf_batch_wide_step(cfg, st, jax.random.key(11), 1,
+                                         **kw)
+        st_s, out_s = pf_batch_wide_step(cfg, st, jax.random.key(11), 1,
+                                         pass_a="seg", **kw)
+        assert int(np.asarray(out_f.resampled).sum()) == 3
+        np.testing.assert_array_equal(np.asarray(out_f.resampled),
+                                      np.asarray(out_s.resampled))
+        np.testing.assert_array_equal(np.asarray(st_f.particles),
+                                      np.asarray(st_s.particles))
+        np.testing.assert_array_equal(np.asarray(st_f.log_w),
+                                      np.asarray(st_s.log_w))
+        np.testing.assert_array_equal(np.asarray(st_f.x_est),
+                                      np.asarray(st_s.x_est))
 
     def test_padding_lanes_match_xla_fallback(self):
         """num_particles not a tile_n multiple (np_ >= n + 2) with >= 2

@@ -979,14 +979,23 @@ def quantize_weights(w_row, n: int, t_in: int):
     return wq, base, cum_tiles[-1]
 
 
-def _pick_chunk(nt: int, t_lanes: int, budget: int = 16384) -> int:
-    """Largest divisor ``g`` of ``nt`` with ``g * t_lanes <= budget``."""
-    g = 1
+def _pick_chunk(nt: int, t_lanes: int, budget: int = 16384,
+                sublane8: bool = False) -> int:
+    """Largest divisor ``g`` of ``nt`` with ``g * t_lanes <= budget``.
+
+    With ``sublane8``, additionally require ``g * t_lanes // 128`` to be
+    a multiple of 8 — the seg kernel's ``(S, 128)`` input blocks must
+    have a sublane count Mosaic accepts on hardware (partial blocks with
+    S % 8 != 0 are rejected); returns 0 when no divisor qualifies so the
+    caller can fall back to the flat kernel.
+    """
     for d in range(nt, 0, -1):
-        if nt % d == 0 and d * t_lanes <= budget:
-            g = d
-            break
-    return g
+        if nt % d or d * t_lanes > budget:
+            continue
+        if sublane8 and (d * t_lanes // 128) % 8:
+            continue
+        return d
+    return 0 if sublane8 else 1
 
 
 def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
@@ -1025,7 +1034,13 @@ def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
     # kernel breaks bit-parity with the XLA decode.
     inv_tot = 1.0 / q_tot.astype(jnp.float32)
     params = jnp.stack([inv_tot, offs.astype(jnp.float32)])
-    g_p1 = _pick_chunk(nt_in, t_in)
+    # The seg path needs an 8-sublane-aligned chunk (see _pick_chunk);
+    # when none exists (e.g. nt_in with only odd divisors at t_in=256)
+    # fall back to the flat kernel rather than hand Mosaic a partial
+    # block it rejects on hardware.
+    g_seg = (_pick_chunk(nt_in, t_in, sublane8=True)
+             if packed and t_in % 256 == 0 else 0)
+    g_p1 = g_seg if g_seg else _pick_chunk(nt_in, t_in)
     common = dict(t_k=t_k, n=n, t_in=t_in, g_p1=g_p1)
     out_specs = [
         pl.BlockSpec((_ROWS, g_p1 * t_k), lambda b, *_: (0, b),
@@ -1036,7 +1051,7 @@ def boundary_compact_particles(p_rows, w_row, n: int, offs, t_in: int,
         jax.ShapeDtypeStruct((_ROWS, nt_in * t_k), jnp.bfloat16),
         jax.ShapeDtypeStruct((1, nt_in), jnp.int32),
     ]
-    if packed and t_in % 256 == 0:
+    if g_seg:
         # Free bitcast reshapes: (1, n_pad) / (3, n_pad) row-major ->
         # (n_pad // 128, 128) segment planes in the same linear order.
         p32 = p_rows.astype(jnp.float32)
@@ -1252,9 +1267,11 @@ def merge_resample_rows(key, p_rows, w_row, n: int, t_in: int = 2048,
         return out.astype(p_rows.dtype)
 
     if pass2 == "compressed":
-        comp = compress_blocks(tc15, blk_ids, wb2, w_b)
 
         def expand_c(_):
+            # compress_blocks (a full-stack gather) lives INSIDE the
+            # kernel branch so the XLA fallback never pays it.
+            comp = compress_blocks(tc15, blk_ids, wb2, w_b)
             out = expand_compressed(comp, sb, span, i0, n_pad, t_out,
                                     wb2, w_b, interpret)
             return out.astype(p_rows.dtype)

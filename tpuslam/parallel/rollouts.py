@@ -378,8 +378,12 @@ def sharded_pf_fused_step(cfg: PfConfig, mesh, fs, key, seed,
             p = _flat_rows(p_in, r)
             lw = _flat_rows(lw_in, r)
 
-            # Same cap derivation as the single-device kernel (shared
-            # helper - parity depends on deriving identical caps).
+            # Caps via the shared helper (merge_caps defaults 1024/256;
+            # the single-device merge_resample_rows now defaults to
+            # t_in=2048/t_k=512).  Selection is cap-INVARIANT - only the
+            # decoded boundaries must match across paths, and those come
+            # from the same quantized-cum law - so differing caps here
+            # are pure scheduling, not a parity hazard.
             t_in, t_k, t_out, w_b, wb2 = rp.merge_caps(n_local)
 
             wq = dist_wq(lw)

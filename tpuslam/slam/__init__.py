@@ -2,8 +2,9 @@
 assembly, Gauss-Newton solving, and the simulation frontend."""
 
 from tpuslam.slam.frontend import (REF_SLAM_LANDMARKS, SlamSceneConfig,
-                                   SlamTrajectory, simulate, slam_rollout,
-                                   solve_once)
+                                   SlamTrajectory, observed_times_mask,
+                                   reference_course_config, simulate,
+                                   slam_rollout, solve_once)
 from tpuslam.slam.graph import (GraphConfig, GraphObservations,
                                 GraphSolveResult, assemble, build_edges,
                                 gn_iteration, graph_solve, kept_times,
@@ -17,7 +18,8 @@ from tpuslam.slam.large import (BandedSolveResult, EdgeList,
                                 window_pairs_device)
 
 __all__ = [
-    "REF_SLAM_LANDMARKS", "SlamSceneConfig", "SlamTrajectory", "simulate",
+    "REF_SLAM_LANDMARKS", "SlamSceneConfig", "SlamTrajectory",
+    "observed_times_mask", "reference_course_config", "simulate",
     "slam_rollout", "solve_once", "GraphConfig", "GraphObservations",
     "GraphSolveResult", "assemble", "build_edges", "gn_iteration",
     "graph_solve", "kept_times", "preconditioned_solve", "upper_pairs",

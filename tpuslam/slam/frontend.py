@@ -70,6 +70,28 @@ class SlamTrajectory(typing.NamedTuple):
     obs_true: GraphObservations  # (T1, L) noise-free sightings
 
 
+def reference_course_config(n_steps: int, guard: str = "full",
+                            **overrides) -> GraphConfig:
+    """The :class:`GraphConfig` of the reference demo course.
+
+    One construction shared by bench.py, the distributional-fixture
+    generator, and tests: ``max_times = n_steps + 1`` over the 9 demo
+    landmarks with the demo's scan noise (range 15 m / 80deg FOV, 5%
+    range noise, 2deg bearing/orientation - graph_based_slam.py:604,
+    900-927), full reference guards by default.
+    """
+    from tpuslam.models.scan_sensor import ScanConfig
+
+    kw = dict(
+        max_times=n_steps + 1, num_landmarks=len(REF_SLAM_LANDMARKS),
+        scan=ScanConfig(range_m=15.0, angle_rad=math.radians(80.0),
+                        dist_gain=0.05, dir_sigma=math.radians(2.0),
+                        orient_sigma=math.radians(2.0)),
+        guard=guard)
+    kw.update(overrides)
+    return GraphConfig(**kw)
+
+
 def simulate(scene: SlamSceneConfig, graph_cfg: GraphConfig, key,
              n_steps: int, controls=None) -> SlamTrajectory:
     """Simulate ``n_steps`` frames of robot motion + scanning.

@@ -108,6 +108,22 @@ class GraphConfig:
     #: >= 0: a negative value would SUBTRACT from the diagonal and
     #: silently worsen the conditioning of the solve.
     damping: float = 0.0
+    #: f32 solvability gate, applied ON TOP of the reference's
+    #: ``cond_max``: the reference evaluates its guards and inverts H in
+    #: float64 (graph_based_slam.py:494-497), so it both DETECTS
+    #: structurally singular frames (det 0 / cond 1e19 - degenerate
+    #: co-visibility produces them on real courses) and solves accurately
+    #: up to cond ~1e15.  An f32 LU of such a frame returns garbage (or
+    #: NaN from an exact zero pivot) while the f32 slogdet/SVD round the
+    #: singularity away (measured: a sign=0/-inf f64 slogdet reads
+    #: det=3e17, cond=3.6e10 in f32).  Since f32 can neither certify nor
+    #: solve past ~1e8, frames whose estimated cond exceeds this cap are
+    #: rejected exactly like the reference rejects its f64-detected
+    #: singular frames - strictly closer to reference behavior than
+    #: applying an uncertifiable update.  Healthy demo frames sit at
+    #: cond ~1e3-1e5 (live-reference parity tests unaffected).  Set to
+    #: inf to disable (pure reference semantics; only safe with f64).
+    cond_f32_cap: float = 1.0e8
 
     def __post_init__(self):
         if self.damping < 0.0:
@@ -396,7 +412,8 @@ def _guards(cfg: GraphConfig, h, kept):
     else:  # "cheap": diagonal ratio lower bound over the kept times
         cond = jnp.where(any_kept,
                          d_max / jnp.maximum(d_min, 1e-30), 1.0)
-    return det_ok & (cond < cfg.cond_max), det, cond
+    cond_cap = min(cfg.cond_max, cfg.cond_f32_cap)
+    return det_ok & (cond < cond_cap), det, cond
 
 
 @highest_matmul_precision
@@ -425,7 +442,14 @@ def gn_iteration(cfg: GraphConfig, poses, obs: GraphObservations, t_now,
         # by (1 + damping); leaves the identity padding rows harmless.
         h_solve = h + cfg.damping * jnp.diag(jnp.diagonal(h))
     delta = -preconditioned_solve(h_solve, b, cfg.refine_iters)
-    delta = delta.reshape(t1, 3) * kept[:, None]
+    # where(), not multiply: an exact zero pivot in the f32 LU of a
+    # structurally singular frame yields NaN, and NaN * 0 = NaN would
+    # leak through non-kept rows.
+    delta = jnp.where(kept[:, None], delta.reshape(t1, 3), 0.0)
+    # Never apply a non-finite update: the reference's f64 guards reject
+    # such frames ("can Not calculate"), so a NaN/inf delta that slipped
+    # past the f32 guard estimates is a guard failure, not an update.
+    ok = ok & jnp.all(jnp.isfinite(delta))
     delta = jnp.where(ok, delta, 0.0)
 
     new_poses = poses + delta
