@@ -158,7 +158,7 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
                      lw_ref, p_out_ref, lw_out_ref, st_ref, p_cur,
                      lw_cur, flat3, flat1, nzs, *, cfg: PfConfig, P: int,
                      noise_on: bool, sub_rows: int, g: int,
-                     compact_cap: int):
+                     compact_cap: int, ablate: tuple = ()):
     """G filters per grid cell (g=1 is the original one-filter-per-cell
     layout; other g match it exactly on particles/estimates and to 1 ulp
     on the per-filter logsumexp normalizer, whose scalar reduction fuses
@@ -178,6 +178,16 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
     n = cfg.num_particles
     r = sub_rows
     p8 = P // r
+    # ``ablate`` (measurement-only; see pf_batch_step): compile-time
+    # knockouts of kernel blocks for the offset-corrected attribution
+    # ladder (scripts/tpu_pf_batch_ablate_r5.py).  Never set in
+    # production paths.
+    if "copy_only" in ablate:
+        p_out_ref[:, :] = p_ref[:, :]
+        lw_out_ref[:, :] = lw_ref[:, :]
+        for k in range(g):
+            st_ref[0, k * 128 + 0] = jnp.float32(0)
+        return
 
     # Flat per-filter particle index of each packed element (row-major
     # over the R planes; exact in f32/int32 well past any tile size).
@@ -200,23 +210,32 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
         cols = slice(k * p8, (k + 1) * p8)
         lw = lw_ref[:, cols]  # (R, P8); R=1 is the flat layout
 
-        # --- gate statistics on the incoming (previous-step) weights --
-        m = jnp.max(lw)
-        e = jnp.exp(lw - m)  # exp(-inf - m) == 0
-        s = jnp.sum(e)
-        s2 = jnp.sum(e * e)
-        bad = ~(jnp.isfinite(m) & (s > 0.0))
-        ess = jnp.where(bad, jnp.float32(n), s * s / s2)
-        fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
-        # Normalized previous log weights (NaN/-inf -> uniform reset,
-        # particle_filter.py:226-237).
-        lw_norm = jnp.where(bad, -math.log(float(n)),
-                            lw - (m + jnp.log(s)))
-        lw_norm = jnp.where(valid1, lw_norm, neg_inf)
-        lw_cur[:, cols] = lw_norm
-        ess_l.append(ess)
-        fire_l.append(fire)
-        bad_l.append(bad)
+        if "no_gate" in ablate:  # measurement-only knockout
+            lw_cur[:, cols] = lw
+            ess_l.append(jnp.float32(n))
+            fire_l.append(jnp.asarray(False))
+            bad_l.append(jnp.asarray(False))
+            fire = False
+            lw_norm = lw
+        else:
+            # --- gate statistics on the incoming (previous-step)
+            # weights --
+            m = jnp.max(lw)
+            e = jnp.exp(lw - m)  # exp(-inf - m) == 0
+            s = jnp.sum(e)
+            s2 = jnp.sum(e * e)
+            bad = ~(jnp.isfinite(m) & (s > 0.0))
+            ess = jnp.where(bad, jnp.float32(n), s * s / s2)
+            fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
+            # Normalized previous log weights (NaN/-inf -> uniform
+            # reset, particle_filter.py:226-237).
+            lw_norm = jnp.where(bad, -math.log(float(n)),
+                                lw - (m + jnp.log(s)))
+            lw_norm = jnp.where(valid1, lw_norm, neg_inf)
+            lw_cur[:, cols] = lw_norm
+            ess_l.append(ess)
+            fire_l.append(fire)
+            bad_l.append(bad)
 
         # Per-sub-filter PRNG stream == the one-filter-per-cell stream:
         # re-seed, then draw the comb offset and the 4 Q-noise normals
@@ -233,6 +252,9 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
                 nzs[j * r:(j + 1) * r, cols] = nk[j]
         else:
             offs = jnp.float32(0.5)
+
+        if "no_resample" in ablate or "no_gate" in ablate:
+            continue  # measurement-only: predict/likelihood still run
 
         # --- ESS-gated in-tile systematic resample (skipped when the
         # gate does not fire: the matmuls below are the expensive part)
@@ -401,12 +423,19 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
     x, y, yaw, acc = _predict_loglik(
         cfg, z_ref, p_cur[0:r, :], p_cur[r:2 * r, :],
         p_cur[2 * r:3 * r, :], noise_on, z_get=zget, normals=nrm)
+    if "no_like" in ablate:  # measurement-only: acc unused -> DCE'd
+        acc = jnp.float32(0.0)
     lw_new = jnp.where(valid_g, lw_cur[:, :] + acc, neg_inf)
 
     p_out_ref[0:r, :] = x
     p_out_ref[r:2 * r, :] = y
     p_out_ref[2 * r:3 * r, :] = yaw
     lw_out_ref[:, :] = lw_new
+
+    if "no_stats" in ablate:  # measurement-only knockout
+        for k in range(g):
+            st_ref[0, k * 128 + 0] = jnp.float32(0)
+        return
 
     # --- per-filter stats rows (SMEM scalars) --------------------------
     lanef = lane1.astype(jnp.float32)
@@ -442,11 +471,11 @@ def _auto_filters_per_cell(b: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg", "noise_on",
                                              "interpret",
                                              "filters_per_cell",
-                                             "compact_cap"))
+                                             "compact_cap", "_ablate"))
 def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
                   noise_on: bool = True, interpret: bool = False,
                   filters_per_cell: int | None = None,
-                  compact_cap: int = 128):
+                  compact_cap: int = 128, _ablate: tuple = ()):
     """One step of B independent fused filters (order = main_pf,
     particle_filter.py:86-119: resample -> predict -> observe -> weight
     -> estimate; the shared truth advances first).
@@ -462,6 +491,11 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
             ``seed + f``, so outputs match across values (exactly on
             particles/estimates; to 1 ulp on the logsumexp normalizer —
             see :func:`_pf_batch_kernel`).
+        _ablate: measurement-only compile-time block knockouts for the
+            offset-corrected attribution ladder (any of "copy_only",
+            "no_gate", "no_resample", "no_like", "no_stats"; see
+            scripts/tpu_pf_batch_ablate_r5.py).  Outputs are WRONG with
+            any knockout active - never set outside timing scripts.
         compact_cap: survivor cap of the compact-then-expand firing
             path (0 disables: always run the direct (P, P) interval
             expansion).  Another pure scheduling knob - outputs are
@@ -503,7 +537,7 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
 
     kernel = functools.partial(_pf_batch_kernel, cfg=cfg, P=P,
                                noise_on=noise_on, sub_rows=r, g=g,
-                               compact_cap=compact_cap)
+                               compact_cap=compact_cap, ablate=_ablate)
     row3 = pl.BlockSpec((3 * r, g * p8), lambda c: (0, c),
                         memory_space=pltpu.VMEM)
     row1 = pl.BlockSpec((r, g * p8), lambda c: (0, c),
@@ -547,7 +581,7 @@ def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                      noise_on: bool = True, interpret: bool = False,
                      sub_rows: int | None = None, seed0=1,
                      filters_per_cell: int | None = None,
-                     compact_cap: int = 128):
+                     compact_cap: int = 128, _ablate: tuple = ()):
     """``n_steps`` batched fused steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs each filter's particle axis into 8
@@ -570,7 +604,7 @@ def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
         st, out = pf_batch_step(cfg, st, k, seed, noise_on=noise_on,
                                 interpret=interpret,
                                 filters_per_cell=filters_per_cell,
-                                compact_cap=compact_cap)
+                                compact_cap=compact_cap, _ablate=_ablate)
         return (st, seed + 7919), out
 
     (final, _), outs = jax.lax.scan(
@@ -908,14 +942,16 @@ def _combine_wide_stats(parts, b: int, w_tiles: int):
                                              "interpret", "fire_cap",
                                              "w_b", "fire_cap_small",
                                              "t_k", "pass2",
-                                             "pass_a", "w_b_small"))
+                                             "pass_a", "w_b_small",
+                                             "_rs_stop"))
 def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                        tile_n: int = 1024, noise_on: bool = True,
                        interpret: bool = False,
                        fire_cap: int | None = None, w_b: int = 12,
                        fire_cap_small: int | None = None,
                        t_k: int | None = None, pass2: str = "windowed",
-                       pass_a: str = "flat", w_b_small: int = 8):
+                       pass_a: str = "flat", w_b_small: int = 8,
+                       _rs_stop: str = ""):
     """One step of B wide filters (main_pf order: resample -> predict ->
     observe -> weight -> estimate).
 
@@ -1032,6 +1068,19 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                    else state.log_w)
         lw2 = lw_flat.reshape(b, np_)
 
+        def _trunc(dep):
+            """Measurement-only stage truncation (``_rs_stop``): return
+            the un-resampled particles with a live data dependence on
+            the stage result so nothing upstream is DCE'd.  Outputs are
+            WRONG; used only by scripts/tpu_wide_ablate_r5.py."""
+            out = p_flat + dep.astype(jnp.float32) * 1e-30
+            if r > 1:
+                out = out.reshape(3, b * r, np8)
+            return out, jnp.clip(pos, 0, b - 1)
+
+        if _rs_stop == "transpose":
+            return _trunc(jnp.sum(lw_flat[0:1, 0:1]))
+
         def xla_slots(_):
             # All-filter decode: the overflow fallback (cnt/w_b guard
             # failed).  O(B*N); correctness oracle for the kernel tiers.
@@ -1082,6 +1131,8 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                 offs_slot = offs[fids]
                 wq_rows = wq.reshape(1, cap_t * np_)
                 cum_rows = cum_in.reshape(1, cap_t * np_)
+                if _rs_stop == "prologue":
+                    return _trunc(cum_rows[0, -1] + jnp.sum(offs_slot))
 
                 # --- pass A: compact (slots only), chunked cells --------
                 # Wider cells than pass C (16k lanes vs 8k): pass A has
@@ -1175,6 +1226,9 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                     )(fids, inv_slot, offs_slot, valid_slot, p_flat,
                       wq_rows, cum_rows)
                 cnt = cnt[0]
+                if _rs_stop == "passA":
+                    return _trunc(jnp.sum(cnt.astype(jnp.float32))
+                                  + tc[0, 0].astype(jnp.float32))
 
                 # --- skip table over slot space: the shared
                 # resample_pallas.skip_table with slot_params, which
@@ -1200,6 +1254,10 @@ def pf_batch_wide_step(cfg: PfConfig, state: PfBatchWideState, key, seed,
                     grid_params=(gp_w, tile_q, cap_t * gp_w))
                 ok = ((n_fire <= cap_t) & (jnp.max(cnt) <= t_k)
                       & (jnp.max(need) <= w_b))
+                if _rs_stop == "skip":
+                    return _trunc(jnp.sum(span.astype(jnp.float32))
+                                  + jnp.sum(sb.astype(jnp.float32))
+                                  + ok.astype(jnp.float32))
 
                 # --- pass B: skip-table expand in slot space ------------
                 def kernel_path(_):
@@ -1415,7 +1473,8 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                           sub_rows: int | None = None, seed0=1,
                           t_k: int | None = None,
                           pass2: str = "windowed",
-                          pass_a: str = "flat", w_b_small: int = 8):
+                          pass_a: str = "flat", w_b_small: int = 8,
+                          _rs_stop: str = ""):
     """``n_steps`` wide batched steps under ``lax.scan``.
 
     ``sub_rows=None`` auto-packs pass C into 8 vreg-sublane planes per
@@ -1441,7 +1500,8 @@ def pf_batch_wide_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
                                      fire_cap_small=fire_cap_small,
                                      t_k=t_k, pass2=pass2,
                                      pass_a=pass_a,
-                                     w_b_small=w_b_small)
+                                     w_b_small=w_b_small,
+                                     _rs_stop=_rs_stop)
         return (st, seed + stride), out
 
     (final, _), outs = jax.lax.scan(
