@@ -652,8 +652,9 @@ class TestPfBatchKernel:
         for f in range(b):
             p_rows[:, f * P:f * P + n] = parts.T
             lw_rows[0, f * P:f * P + n] = np.log(w)
-        st = st._replace(particles=jnp.asarray(p_rows),
-                         log_w=jnp.asarray(lw_rows))
+        from tpuslam.ops.pf_batch_pallas import pf_batch_refresh_stats
+        st = pf_batch_refresh_stats(cfg, st._replace(
+            particles=jnp.asarray(p_rows), log_w=jnp.asarray(lw_rows)))
         key = jax.random.key(5)
         st2, out = pf_batch_step(cfg, st, key, 0, noise_on=False,
                                  interpret=True)
@@ -718,8 +719,9 @@ class TestPfBatchKernel:
         for f in range(b):
             p_rows[:, f * P:f * P + n] = parts.T
             lw_rows[0, f * P:f * P + n] = lw
-        st = st._replace(particles=jnp.asarray(p_rows),
-                         log_w=jnp.asarray(lw_rows))
+        from tpuslam.ops.pf_batch_pallas import pf_batch_refresh_stats
+        st = pf_batch_refresh_stats(cfg, st._replace(
+            particles=jnp.asarray(p_rows), log_w=jnp.asarray(lw_rows)))
         st2, out = pf_batch_step(cfg, st, jax.random.key(2), 0,
                                  noise_on=False, interpret=True)
         assert bool(out.resampled.all())
@@ -787,8 +789,11 @@ class TestPfBatchKernel:
                                    np.asarray(f1.log_w), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(o4.x_est),
                                       np.asarray(o1.x_est))
-        np.testing.assert_array_equal(np.asarray(o4.ess),
-                                      np.asarray(o1.ess))
+        # ESS derives from the carried normalizers, whose vectorized
+        # column-partial reductions fuse differently over a slice of a
+        # wider block - same 1-ulp caveat as log_w above.
+        np.testing.assert_allclose(np.asarray(o4.ess),
+                                   np.asarray(o1.ess), rtol=1e-5)
 
     def test_compact_cap_is_pure_scheduling(self):
         """compact_cap (the compact-then-expand firing path's survivor
@@ -836,8 +841,11 @@ class TestPfBatchPackedLayout:
             lw = (lw_rows_fn(f) if lw_rows_fn is not None
                   else np.log(np.full(n, 1.0 / n)))
             lw_rows[0, f * P:f * P + n] = lw
+        from tpuslam.ops.pf_batch_pallas import pf_batch_refresh_stats
+
         st_flat = st_flat._replace(particles=jnp.asarray(p_rows),
                                    log_w=jnp.asarray(lw_rows))
+        st_flat = pf_batch_refresh_stats(cfg, st_flat)
         # Same flat content, packed into 8 sublane planes per filter
         # (requires P divisible by 8*128 -> use n that pads equally).
         st_packed = st_flat._replace(

@@ -132,8 +132,9 @@ class TestResampleInvariants:
         for f in range(b):
             p_rows[0, f * P:f * P + n] = np.arange(n)  # marker = index
             lw_rows[0, f * P:f * P + n] = lw
-        st = st._replace(particles=jnp.asarray(p_rows),
-                         log_w=jnp.asarray(lw_rows))
+        from tpuslam.ops.pf_batch_pallas import pf_batch_refresh_stats
+        st = pf_batch_refresh_stats(cfg, st._replace(
+            particles=jnp.asarray(p_rows), log_w=jnp.asarray(lw_rows)))
         st2, out = pf_batch_step(cfg, st, jax.random.key(seed), 0,
                                  noise_on=False, interpret=True)
         assert bool(out.resampled.all())
@@ -184,8 +185,9 @@ class TestResampleInvariants:
         for f in range(b):
             p_rows[0, f * P:f * P + n] = np.arange(n)  # marker = index
             lw_rows[0, f * P:f * P + n] = lw
-        st = st._replace(particles=jnp.asarray(p_rows),
-                         log_w=jnp.asarray(lw_rows))
+        from tpuslam.ops.pf_batch_pallas import pf_batch_refresh_stats
+        st = pf_batch_refresh_stats(cfg, st._replace(
+            particles=jnp.asarray(p_rows), log_w=jnp.asarray(lw_rows)))
         st2, out = pf_batch_step(cfg, st, jax.random.key(1), 0,
                                  noise_on=False, interpret=True)
         assert bool(out.resampled.all())

@@ -90,6 +90,15 @@ class PfBatchState(typing.NamedTuple):
     x_true: jax.Array  # (3,)
     particles: jax.Array  # (3R, B*P/R)
     log_w: jax.Array  # (R, B*P/R)
+    #: Carried per-filter normalizers of ``log_w`` (round 5): the ESS
+    #: gate reads these instead of recomputing max/sum-exp in-kernel -
+    #: the per-sub-filter serial reductions were ~1.4 ms/step at
+    #: 8192x1000 (scripts/tpu_pf_batch_ablate_r5.py).  Same carried-
+    #: normalizer contract as :class:`PfBatchWideState`; states built by
+    #: hand (tests) must keep them consistent with ``log_w`` - use
+    #: :func:`pf_batch_refresh_stats`.
+    lse: jax.Array  # (B,) logsumexp(log_w)
+    lse2: jax.Array  # (B,) logsumexp(2*log_w)
 
 
 class PfBatchOut(typing.NamedTuple):
@@ -151,11 +160,35 @@ def pf_batch_init(cfg: PfConfig, batch: int,
     return PfBatchState(
         x_true=x0,
         particles=jnp.tile(p_blk, (1, batch)).astype(jnp.float32),
-        log_w=jnp.tile(lw_blk, (1, batch)).astype(jnp.float32))
+        log_w=jnp.tile(lw_blk, (1, batch)).astype(jnp.float32),
+        # Uniform weights: lse = log(n * 1/n) = 0, lse2 = -log n.
+        lse=jnp.zeros((batch,), jnp.float32),
+        lse2=jnp.full((batch,), -math.log(float(n)), jnp.float32))
 
 
-def _pf_batch_kernel(seed_ref, z_ref, p_ref,
-                     lw_ref, p_out_ref, lw_out_ref, st_ref, p_cur,
+def pf_batch_refresh_stats(cfg: PfConfig, state: PfBatchState
+                           ) -> PfBatchState:
+    """Recompute the carried ``lse``/``lse2`` normalizers from ``log_w``.
+
+    For states assembled by hand (tests, checkpoint surgery): the ESS
+    gate reads the carried normalizers, so injected log weights must be
+    accompanied by consistent ones.
+    """
+    r = state.particles.shape[0] // 3
+    p8 = _padded_p(cfg, r) // r
+    b = state.particles.shape[1] // p8
+    lw = (flat_batch_rows(state.log_w, b, r) if r > 1
+          else state.log_w).reshape(b, r * p8)
+    m = jnp.max(lw, axis=1)
+    mc = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(lw - mc[:, None])
+    lse = m + jnp.log(jnp.sum(e, axis=1))
+    lse2 = 2.0 * m + jnp.log(jnp.sum(e * e, axis=1))
+    return state._replace(lse=lse, lse2=lse2)
+
+
+def _pf_batch_kernel(seed_ref, gate_ref, z_ref, p_ref,
+                     lw_ref, p_out_ref, lw_out_ref, part_ref, p_cur,
                      lw_cur, flat3, flat1, nzs, *, cfg: PfConfig, P: int,
                      noise_on: bool, sub_rows: int, g: int,
                      compact_cap: int, ablate: tuple = ()):
@@ -166,13 +199,19 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
 
     The ~0.5 us fixed cost per grid cell was the 8192-filter floor
     (~4 ms/step, STATUS.md round-4); chunking G filters into one cell
-    amortizes it Gx.  The gate/resample stay PER FILTER (an unrolled
-    loop of ``@pl.when(fire_k)`` closures over column slices), the
-    predict + likelihood + weight update run VECTORIZED over the whole
-    (R, G*P8) block, and per-filter PRNG streams are preserved exactly
-    by re-seeding ``seed + cell*G + k`` before each sub-filter's draws
-    (== ``seed + f``), drawing its comb offset and Q-noise normals in
-    the original order into the ``nzs`` scratch.
+    amortizes it Gx.  The resample stays PER FILTER (an unrolled loop of
+    ``@pl.when(fire_k)`` closures over column slices); everything else
+    is VECTORIZED over the whole (R, G*P8) block (round 5): the ESS
+    gate reads per-filter fire/normalizer scalars prefetched from the
+    CARRIED ``lse``/``lse2`` (``gate_ref`` rows: fire, lse, bad - the
+    wide kernel's pattern), and the per-filter stats are emitted as
+    per-COLUMN partial rows (``part_ref``, 8 x G*P8) that a tiny XLA
+    combine reduces - the former per-sub-filter serial reductions +
+    scalar SMEM writes were ~3.9 ms/step at 8192x1000
+    (scripts/tpu_pf_batch_ablate_r5.py).  Per-filter PRNG streams are
+    preserved exactly by re-seeding ``seed + cell*G + k`` before each
+    sub-filter's draws (== ``seed + f``), drawing its comb offset and
+    Q-noise normals in the original order into the ``nzs`` scratch.
     """
     c = pl.program_id(0)
     n = cfg.num_particles
@@ -185,8 +224,7 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
     if "copy_only" in ablate:
         p_out_ref[:, :] = p_ref[:, :]
         lw_out_ref[:, :] = lw_ref[:, :]
-        for k in range(g):
-            st_ref[0, k * 128 + 0] = jnp.float32(0)
+        part_ref[:, :] = jnp.zeros_like(part_ref)
         return
 
     # Flat per-filter particle index of each packed element (row-major
@@ -205,37 +243,26 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
 
     p_cur[:, :] = p_ref[:, :]
 
-    ess_l, fire_l, bad_l = [], [], []
     for k in range(g):
         cols = slice(k * p8, (k + 1) * p8)
         lw = lw_ref[:, cols]  # (R, P8); R=1 is the flat layout
 
         if "no_gate" in ablate:  # measurement-only knockout
             lw_cur[:, cols] = lw
-            ess_l.append(jnp.float32(n))
-            fire_l.append(jnp.asarray(False))
-            bad_l.append(jnp.asarray(False))
             fire = False
             lw_norm = lw
         else:
-            # --- gate statistics on the incoming (previous-step)
-            # weights --
-            m = jnp.max(lw)
-            e = jnp.exp(lw - m)  # exp(-inf - m) == 0
-            s = jnp.sum(e)
-            s2 = jnp.sum(e * e)
-            bad = ~(jnp.isfinite(m) & (s > 0.0))
-            ess = jnp.where(bad, jnp.float32(n), s * s / s2)
-            fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
+            # --- gate from the CARRIED normalizers (XLA computed fire/
+            # bad from lse/lse2; rows: [fire, lse, bad]) ---------------
+            fire = gate_ref[0, c * g + k] > 0.0
+            cnorm = gate_ref[1, c * g + k]
+            badk = gate_ref[2, c * g + k] > 0.0
             # Normalized previous log weights (NaN/-inf -> uniform
-            # reset, particle_filter.py:226-237).
-            lw_norm = jnp.where(bad, -math.log(float(n)),
-                                lw - (m + jnp.log(s)))
+            # reset, particle_filter.py:226-237); lse == m + log(s).
+            lw_norm = jnp.where(badk, jnp.float32(-math.log(float(n))),
+                                lw - cnorm)
             lw_norm = jnp.where(valid1, lw_norm, neg_inf)
             lw_cur[:, cols] = lw_norm
-            ess_l.append(ess)
-            fire_l.append(fire)
-            bad_l.append(bad)
 
         # Per-sub-filter PRNG stream == the one-filter-per-cell stream:
         # re-seed, then draw the comb offset and the 4 Q-noise normals
@@ -433,30 +460,66 @@ def _pf_batch_kernel(seed_ref, z_ref, p_ref,
     lw_out_ref[:, :] = lw_new
 
     if "no_stats" in ablate:  # measurement-only knockout
-        for k in range(g):
-            st_ref[0, k * 128 + 0] = jnp.float32(0)
+        part_ref[:, :] = jnp.zeros_like(part_ref)
         return
 
-    # --- per-filter stats rows (SMEM scalars) --------------------------
-    lanef = lane1.astype(jnp.float32)
-    for k in range(g):
-        cols = slice(k * p8, (k + 1) * p8)
-        lwk = lw_new[:, cols]
-        m2 = jnp.max(lwk)
-        lse_new = m2 + jnp.log(jnp.sum(jnp.exp(lwk - m2)))
-        best = jnp.max(jnp.where(lwk == m2, lanef, neg_inf))
-        sel = lanef == best
-        st_ref[0, k * 128 + 0] = jnp.max(
-            jnp.where(sel, x[:, cols], neg_inf))
-        st_ref[0, k * 128 + 1] = jnp.max(
-            jnp.where(sel, y[:, cols], neg_inf))
-        st_ref[0, k * 128 + 2] = jnp.max(
-            jnp.where(sel, yaw[:, cols], neg_inf))
-        st_ref[0, k * 128 + 3] = ess_l[k]
-        st_ref[0, k * 128 + 4] = lse_new
-        st_ref[0, k * 128 + 5] = m2
-        st_ref[0, k * 128 + 6] = fire_l[k].astype(jnp.float32)
-        st_ref[0, k * 128 + 7] = bad_l[k].astype(jnp.float32)
+    # --- per-COLUMN stats partials (round 5): one vectorized pass over
+    # the whole (R, G*P8) block; the per-filter reduction over the P8
+    # columns happens in XLA (_combine_batch_stats).  Rows: m_col,
+    # s_col, s2_col, lane_best, x/y/yaw at the column argmax (max flat
+    # lane among column ties - composing with the XLA cross-column max
+    # reproduces the old "largest flat lane among global ties" pick
+    # exactly). ---------------------------------------------------------
+    m_col = jnp.max(lw_new, axis=0, keepdims=True)  # (1, G*P8)
+    mc = jnp.where(m_col > neg_inf, m_col, 0.0)
+    e = jnp.exp(lw_new - mc)  # empty/-inf lanes -> 0
+    s_col = jnp.sum(e, axis=0, keepdims=True)
+    s2_col = jnp.sum(e * e, axis=0, keepdims=True)
+    lane_f = lane_g.astype(jnp.float32)
+    sel = lw_new == m_col
+    lane_b = jnp.max(jnp.where(sel, lane_f, neg_inf), axis=0,
+                     keepdims=True)
+    sel2 = sel & (lane_f == lane_b)
+    x_b = jnp.max(jnp.where(sel2, x, neg_inf), axis=0, keepdims=True)
+    y_b = jnp.max(jnp.where(sel2, y, neg_inf), axis=0, keepdims=True)
+    yaw_b = jnp.max(jnp.where(sel2, yaw, neg_inf), axis=0,
+                    keepdims=True)
+    part_ref[0:1, :] = m_col
+    part_ref[1:2, :] = s_col
+    part_ref[2:3, :] = s2_col
+    part_ref[3:4, :] = lane_b
+    part_ref[4:5, :] = x_b
+    part_ref[5:6, :] = y_b
+    part_ref[6:7, :] = yaw_b
+    part_ref[7:8, :] = jnp.zeros_like(m_col)
+
+
+def _combine_batch_stats(part, b: int, p8: int):
+    """Reduce the kernel's per-column stats partials to per-filter values.
+
+    ``part`` rows (8, B*P8): [m_col, s_col, s2_col, lane_best, x_b, y_b,
+    yaw_b, 0] (see the kernel's stats block).  Cross-column max + a
+    scaled sum reproduce logsumexp; the MAP pick composes the per-column
+    max-lane tie-break with a cross-column argmax on (m, lane) so the
+    selected lane equals the old in-kernel "largest flat lane among
+    global ties" exactly.
+
+    Returns ``(lse (B,), lse2 (B,), x_est (B, 3))``.
+    """
+    p = part.reshape(8, b, p8)
+    m_col, s_col, s2_col, lane_b = p[0], p[1], p[2], p[3]
+    m = jnp.max(m_col, axis=1)  # (B,)
+    mc = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(m_col - mc[:, None])
+    lse = m + jnp.log(jnp.sum(e * s_col, axis=1))
+    lse2 = 2.0 * m + jnp.log(jnp.sum(e * e * s2_col, axis=1))
+    # Column with the globally-largest tie lane: lane ids are unique per
+    # filter, so argmax over (m_col == m ? lane_b : -inf) is unambiguous.
+    cand = jnp.where(m_col == m[:, None], lane_b, -jnp.inf)
+    jc = jnp.argmax(cand, axis=1)  # (B,)
+    pick = jnp.take_along_axis(
+        p[4:7], jc[None, :, None], axis=2)[..., 0]  # (3, B)
+    return lse, lse2, pick.T
 
 
 def _auto_filters_per_cell(b: int) -> int:
@@ -535,6 +598,16 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
         z.reshape(b, -1).T[:, :, None])
     z_rows = jnp.broadcast_to(z_rows, (zr, b, p8)).reshape(zr, b * p8)
 
+    # --- gate from the carried normalizers (wide-kernel pattern) ------
+    n = cfg.num_particles
+    bad = ~(jnp.isfinite(state.lse) & jnp.isfinite(state.lse2))
+    ess = jnp.where(bad, jnp.float32(n),
+                    jnp.exp(2.0 * state.lse - state.lse2))
+    fire = (~bad) & (ess < n * cfg.ess_threshold_frac)
+    gate_rows = jnp.stack([fire.astype(jnp.float32),
+                           jnp.where(bad, 0.0, state.lse),
+                           bad.astype(jnp.float32)])  # (3, B)
+
     kernel = functools.partial(_pf_batch_kernel, cfg=cfg, P=P,
                                noise_on=noise_on, sub_rows=r, g=g,
                                compact_cap=compact_cap, ablate=_ablate)
@@ -542,10 +615,13 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
                         memory_space=pltpu.VMEM)
     row1 = pl.BlockSpec((r, g * p8), lambda c: (0, c),
                         memory_space=pltpu.VMEM)
-    p_out, lw_out, st = pl.pallas_call(
+    row8 = pl.BlockSpec((8, g * p8), lambda c: (0, c),
+                        memory_space=pltpu.VMEM)
+    p_out, lw_out, part = pl.pallas_call(
         kernel,
         grid=(b // g,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((zr, g * p8), lambda c: (0, c),
                          memory_space=pltpu.VMEM),
@@ -554,27 +630,25 @@ def pf_batch_step(cfg: PfConfig, state: PfBatchState, key, seed,
         out_shape=(
             jax.ShapeDtypeStruct((3 * r, b * p8), jnp.float32),
             jax.ShapeDtypeStruct((r, b * p8), jnp.float32),
-            jax.ShapeDtypeStruct((1, b * 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, b * p8), jnp.float32),
         ),
-        out_specs=(row3, row1,
-                   pl.BlockSpec((1, g * 128), lambda c: (0, c),
-                                memory_space=pltpu.SMEM)),
+        out_specs=(row3, row1, row8),
         scratch_shapes=[pltpu.VMEM((3 * r, g * p8), jnp.float32),
                         pltpu.VMEM((r, g * p8), jnp.float32),
                         pltpu.VMEM((3, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((4 * r, g * p8), jnp.float32)],
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), z_rows,
+    )(jnp.asarray([seed], jnp.int32), gate_rows, z_rows,
       state.particles, state.log_w)
 
-    st = st.reshape(b, 128)
+    lse_new, lse2_new, x_est = _combine_batch_stats(part, b, p8)
     out = PfBatchOut(
-        x_true=x_true, x_est=st[:, 0:3], ess=st[:, 3], lse=st[:, 4],
-        resampled=st[:, 6] > 0.0, bad=st[:, 7] > 0.0)
+        x_true=x_true, x_est=x_est, ess=ess, lse=lse_new,
+        resampled=fire, bad=bad)
     return PfBatchState(x_true=x_true, particles=p_out,
-                        log_w=lw_out), out
+                        log_w=lw_out, lse=lse_new, lse2=lse2_new), out
 
 
 def pf_batch_rollout(cfg: PfConfig, key, batch: int, n_steps: int,
