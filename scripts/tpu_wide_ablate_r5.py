@@ -54,13 +54,15 @@ def timed(fn, *a, reps=3):
     return min(ts)
 
 
-def bench(name, b=B, ess_frac=None, cap_tier=None, **kw):
+def bench(name, b=B, ess_frac=None, cap_tier=None, r_std=None, **kw):
     from tpuslam.filters import PfConfig
     from tpuslam.ops import pf_batch_wide_rollout
 
     cfg_kw = {}
     if ess_frac is not None:
         cfg_kw["ess_threshold_frac"] = ess_frac
+    if r_std is not None:
+        cfg_kw["r_std"] = r_std
     cfg = PfConfig(num_particles=N, weight_mode="log", **cfg_kw)
     if cap_tier is not None:
         kw["fire_cap"] = cap_tier
@@ -99,9 +101,23 @@ def ladder(b):
         prev = t[nm]
 
 
+def degen(b):
+    """Pass B+C cost at the kernel tier: always-fire with a SHARP
+    likelihood (r_std 0.05) keeps post-reset weights degenerate enough
+    that survivor counts stay under the caps (healthy always-fire
+    weights overflow t_k and the 'full' stage measures the XLA fallback
+    instead - see the r5 log)."""
+    kw = dict(b=b, ess_frac=2.0, cap_tier=b, r_std=(0.05, 0.05))
+    t_skip = bench(f"B={b} degen stop=skip", _rs_stop="skip", **kw)
+    t_full = bench(f"B={b} degen full", **kw)
+    log(f"   B={b}: pass B+C = {t_full - t_skip:.3f} ms = "
+        f"{(t_full - t_skip) / (b * N / 1e6):.2f} ms/M resampled")
+
+
 def main():
     log(f"devices: {jax.devices()}  B={B} N={N} steps={STEPS}")
-    args = sys.argv[1:] or ["prod", "nofire", "stages", "stages256"]
+    args = sys.argv[1:] or ["prod", "nofire", "stages", "stages256",
+                            "degen"]
 
     if "prod" in args:
         bench("production, default gate")
@@ -114,10 +130,9 @@ def main():
         # the typical default-gate burst of ~215 pays); its own control
         # normalizes the smaller pass-C floor.
         ladder(256)
-
-
-if __name__ == "__main__":
-    main()
+    if "degen" in args:
+        degen(1024)
+        degen(256)
 
 
 if __name__ == "__main__":

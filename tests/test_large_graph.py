@@ -307,6 +307,65 @@ class TestTridiagSolver:
                 np.linalg.norm(x_true)
             assert rel < 1e-4
 
+    def test_partitioned_thomas_matches_sequential(self, rng):
+        """Single-chip SPIKE (block_thomas_factor_partitioned): the
+        chunked factor + reduced interface solve reproduces the
+        sequential block-Thomas solution to machine precision (f64) on
+        random SPD block-tridiagonal systems, across chunk counts."""
+        from tpuslam.slam.tridiag import (
+            block_thomas_factor_partitioned, block_thomas_solve,
+            block_thomas_substitute_partitioned)
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            n, m = 24, 5
+            a = np.stack([np.eye(m) * (6 + i % 3)
+                          + 0.3 * rng.normal(size=(m, m))
+                          for i in range(n)])
+            a = 0.5 * (a + a.transpose(0, 2, 1))
+            u = 0.3 * rng.normal(size=(n - 1, m, m))
+            b = rng.normal(size=(n, m))
+            x_ref = np.asarray(block_thomas_solve(
+                jnp.asarray(a), jnp.asarray(u), jnp.asarray(b)))
+            for c in (2, 4, 12):  # m_chunk = 12, 6, 2
+                fac = block_thomas_factor_partitioned(
+                    jnp.asarray(a), jnp.asarray(u), c)
+                x = np.asarray(block_thomas_substitute_partitioned(
+                    fac, jnp.asarray(b)))
+                np.testing.assert_allclose(x, x_ref, atol=1e-12,
+                                           err_msg=f"n_parts={c}")
+            with pytest.raises(ValueError):
+                block_thomas_factor_partitioned(
+                    jnp.asarray(a), jnp.asarray(u), 7)  # 24 % 7 != 0
+            with pytest.raises(ValueError):
+                block_thomas_factor_partitioned(
+                    jnp.asarray(a), jnp.asarray(u), 24)  # m = 1 < 2
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_partitioned_gn_matches_sequential(self):
+        """graph_solve_banded(n_parts=...) on the factor-reuse path
+        lands on the sequential solution (f32 solver roundoff)."""
+        from tpuslam.core.angles import wrap_angle
+
+        noise = 0.3
+        cfg = _cfg(128, 20, max_gn_iters=10, exact_jacobians=True)
+        pt, po, obs = make_large_scene(cfg, jax.random.key(3), 128, 20,
+                                      radius=40.0, odom_noise=noise)
+        rel_odom = po[1:] - po[:-1]
+        rel_odom = rel_odom.at[:, 2].set(wrap_angle(rel_odom[:, 2]))
+        el = window_pairs(np.asarray(obs.valid), window=20)
+        kw = dict(band=20, rel_odom=rel_odom,
+                  odom_info=(1 / noise ** 2,) * 3, solver="tridiag")
+        r_seq = graph_solve_banded(cfg, po, obs, el, **kw)
+        r_par = graph_solve_banded(cfg, po, obs, el, n_parts=4, **kw)
+        assert int(r_par.gn_iters) >= 1
+        np.testing.assert_allclose(np.asarray(r_par.poses),
+                                   np.asarray(r_seq.poses), atol=5e-3)
+        with pytest.raises(ValueError):
+            graph_solve_banded(cfg, po, obs, el, n_parts=4,
+                               reuse_factorization=False, **kw)
+
     def test_solver_option_in_gn(self):
         from tpuslam.core.angles import wrap_angle
 

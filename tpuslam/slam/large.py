@@ -747,7 +747,8 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
                        super_size: int | None = None,
                        stall_ratio: float | None = None,
                        reuse_factorization: bool | None = None,
-                       refactor_every: int | None = None):
+                       refactor_every: int | None = None,
+                       n_parts: int | None = None):
     """Gauss-Newton with banded assembly + selectable inner solver.
 
     The large-scale twin of :func:`tpuslam.slam.graph.graph_solve`: same
@@ -829,6 +830,19 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
             ``refactor_every=1`` IS full relinearization (every
             iteration factors fresh).  Requires ``exact_jacobians=True``,
             ``relinearize_omega=True``, ``solver='tridiag'``.
+        n_parts: partition the tridiag factor/substitution into that
+            many batched chunks (single-chip SPIKE,
+            :func:`tpuslam.slam.tridiag.block_thomas_factor_partitioned`)
+            - the sequential scan depth drops N -> N/n_parts + n_parts.
+            Measured at 1M poses (C=32): substitutions 0.128 -> 0.045 s
+            per GN iteration, but the FACTOR gets slower (0.92 ->
+            1.37 s: the in-scan batched Cholesky serializes over the
+            chunk batch), so this pays only when substitutions dominate
+            (many GN iterations / rhs per factorization; the default
+            4-iteration 1M solve keeps the sequential factor).
+            Reuse-factorization path only; results agree with the
+            sequential factor to solver roundoff (not bitwise).
+            None = sequential.
     """
     if damping < 0.0:
         raise ValueError(f"damping must be >= 0, got {damping}; negative "
@@ -860,10 +874,13 @@ def graph_solve_banded(cfg: GraphConfig, poses_init,
     t1 = poses_init.shape[0]
     tol = cfg.delta_sum_threshold if delta_tol is None else delta_tol
 
+    if n_parts is not None and not reuse_factorization:
+        raise ValueError("n_parts (partitioned Thomas) is implemented "
+                         "on the reuse_factorization path only")
     if reuse_factorization:
         return _graph_solve_banded_reuse(
             cfg, poses_init, obs, edges, band, rel_odom, odom_info,
-            damping, super_size, tol, stall_ratio)
+            damping, super_size, tol, stall_ratio, n_parts)
     if refactor_every is not None:
         return _graph_solve_banded_relin_reuse(
             cfg, poses_init, obs, edges, band, rel_odom, odom_info,
@@ -949,7 +966,8 @@ def _graph_solve_banded_reuse(cfg: GraphConfig, poses_init,
                               obs: GraphObservations, edges: EdgeList,
                               band: int, rel_odom, odom_info,
                               damping: float, super_size: int | None,
-                              tol, stall_ratio: float | None):
+                              tol, stall_ratio: float | None,
+                              n_parts: int | None = None):
     """Factor-reuse GN: constant-H fast path of :func:`graph_solve_banded`.
 
     H is assembled and Thomas-factored ONCE (the O(S^3)-per-block cost);
@@ -977,7 +995,7 @@ def _graph_solve_banded_reuse(cfg: GraphConfig, poses_init,
     if damping:
         for k in (0, 4, 8):
             h_flat = h_flat.at[k].multiply(1.0 + damping)
-    fac = banded_factor_tridiag_flat(h_flat, band, ss)
+    fac = banded_factor_tridiag_flat(h_flat, band, ss, n_parts=n_parts)
 
     def gn_body(carry):
         poses, delta_prev, _, iters, _ = carry

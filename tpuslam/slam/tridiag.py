@@ -184,6 +184,222 @@ def block_thomas_substitute(factor: ThomasFactor, b):
         return xs_rev[::-1, 0, :] if squeeze else xs_rev[::-1]
 
 
+class PartitionedThomasFactor(typing.NamedTuple):
+    """Single-chip substructured (SPIKE-style) block-Thomas factor.
+
+    The sequential depth of :func:`block_thomas_substitute` is N scan
+    steps; on this platform each step costs latency, not FLOPs (~32k
+    seq steps/s at 1M poses, BENCH_r04 roofline).  Partitioning the
+    chain into ``C`` chunks turns both the factorization and every
+    substitution into BATCHED scans of depth ``N/C`` (the same math as
+    the device-sharded :mod:`tpuslam.parallel.tridiag_shard`, with the
+    mesh axis replaced by a batch axis) plus a tiny C-block reduced
+    interface system.  HBM footprint matches the sequential factor: the
+    per-chunk factors store the same N blocks, and the three corner
+    blocks of each chunk inverse ride carry-only matmul chains instead
+    of stored T^-1 columns.
+    """
+
+    chunk: ThomasFactor  # per-chunk interior factors, TIME-major
+    #: (m-1, C, M, M) fields; m = chunk.invs.shape[0] + 1 blocks/chunk
+    red: ThomasFactor  # reduced interface factor (C blocks)
+    b_cpl: jax.Array  # (C, M, M) last-interior <-> interface coupling
+    c_cpl: jax.Array  # (C, M, M) interface <-> next-chunk coupling
+
+
+def _batched_inv_spd(a):
+    """Batched SPD inverse via Cholesky (same op chain as the Thomas
+    factor's per-step inverse)."""
+    m = a.shape[-1]
+    eye = jnp.eye(m, dtype=a.dtype)
+    chol = jnp.linalg.cholesky(0.5 * (a + jnp.swapaxes(a, -1, -2)))
+    li = jax.lax.linalg.triangular_solve(
+        chol, jnp.broadcast_to(eye, a.shape), left_side=True, lower=True)
+    return jnp.swapaxes(li, -1, -2) @ li
+
+
+def block_thomas_factor_partitioned(diag, upper,
+                                    n_parts: int
+                                    ) -> PartitionedThomasFactor:
+    """Factor the N-block chain as ``n_parts`` independent chunks.
+
+    Requires ``N % n_parts == 0`` and ``m = N // n_parts >= 2``.
+    Reduced-system derivation (chunk interiors ``u_c``, interfaces
+    ``s_c`` = last block of each chunk; ``B_c`` couples interior m-2 to
+    ``s_c``, ``C_c`` couples ``s_c`` to chunk c+1's interior 0):
+
+      Ahat_c    = A_ic - B_c^T Dm_c B_c - C_c D0_{c+1} C_c^T
+      Uhat_c    = -C_c G_{c+1} B_{c+1}
+      bhat_c    = f_c - B_c^T r_c[m-2] - C_c r_{c+1}[0]
+
+    with ``Dm = [T^-1]_{m-2,m-2}`` (the chunk factor's last Schur
+    inverse), ``D0 = [T^-1]_{0,0}`` (a reverse Schur recursion, carry
+    only), ``G = [T^-1]_{0,m-2}`` (the backward multiplier chain
+    ``x_j = -inv_j U_j x_{j+1}``, carry only), and ``r = T^-1 g``.
+
+    Note (measured, round 5): the batched per-step Cholesky/triangular
+    solve SERIALIZES over the chunk batch inside the scan (221/790
+    us/step at C=8/32 vs 36 us sequential), so this partitioned factor
+    is SLOWER than the sequential one at 1M poses; the partitioned
+    SUBSTITUTION is 2.8x faster (0.045 s vs 0.128 s at 1M, C=32).  A
+    Newton-Schulz matmul-only inverse was tried and rejected: the
+    warm-start residual ``||I - S_k X_{k-1}||`` measures 2.6 mean / 9
+    max on real prescaled chains (S = band packs a full bandwidth per
+    super-block, so consecutive Schur complements are NOT close) - the
+    iteration diverges.  Use this factor when substitutions dominate
+    (many rhs per factorization); the production 1M path keeps the
+    sequential factor.
+    """
+    n, m_blk = diag.shape[0], diag.shape[1]
+    c = n_parts
+    if n % c:
+        raise ValueError(f"N={n} not a multiple of n_parts={c}")
+    m = n // c
+    if m < 2:
+        raise ValueError(f"n_parts={c} leaves m={m} < 2 blocks/chunk")
+    up = jnp.concatenate([upper, jnp.zeros((1, m_blk, m_blk),
+                                           diag.dtype)], axis=0)
+    diag_r = diag.reshape(c, m, m_blk, m_blk)
+    up_r = up.reshape(c, m, m_blk, m_blk)
+    # TIME-major (m-1, C, M, M) interiors: every scan below (factor,
+    # reverse Schur, corner chain, the substitutions) iterates the
+    # within-chunk axis, so one transpose here replaces per-scan
+    # flipped/transposed copies that blew HBM at 1M poses.
+    a_int = jnp.swapaxes(diag_r[:, :m - 1], 0, 1)
+    a_if = diag_r[:, m - 1]  # (C, M, M) interface diagonals
+    u_int = jnp.swapaxes(up_r[:, :max(m - 2, 0)], 0, 1)
+    b_cpl = up_r[:, m - 2]  # (C, M, M)
+    c_cpl = up_r[:, m - 1]  # (C, M, M); zero for the last chunk
+    eye = jnp.eye(m_blk, dtype=diag.dtype)
+
+    with jax.default_matmul_precision("highest"):
+        # Batched chunk factor (block_thomas_factor's recursion with a
+        # C-wide batch axis), time-major in and out.
+        up_x = jnp.concatenate(
+            [u_int, jnp.zeros((1, c, m_blk, m_blk), diag.dtype)], axis=0)
+
+        def fwd(carry, inputs):
+            inv_prev, u_prev = carry
+            a_k, u_k = inputs
+            w = inv_prev @ u_prev
+            s_k = a_k - jnp.swapaxes(u_prev, -1, -2) @ w
+            inv_k = _batched_inv_spd(s_k)
+            return (inv_k, u_k), (inv_k, w)
+
+        init = (jnp.broadcast_to(eye, (c, m_blk, m_blk)),
+                jnp.zeros((c, m_blk, m_blk), diag.dtype))
+        _, (invs, ws) = jax.lax.scan(fwd, init, (a_int, up_x))
+        chunk = ThomasFactor(invs=invs, ws=ws, up=up_x)
+        dm = invs[-1]  # [T^-1]_{m-2,m-2}
+
+        # D0 = [T^-1]_{0,0} via the reverse Schur recursion
+        # (carry-only; one batched Cholesky - or Newton - chain of
+        # depth m-1).
+        def rev(s_prev, inputs):
+            a_j, u_j = inputs
+            x = _batched_inv_spd(s_prev)
+            s_new = a_j - u_j @ x @ jnp.swapaxes(u_j, -1, -2)
+            s_new = 0.5 * (s_new + jnp.swapaxes(s_new, -1, -2))
+            return s_new, None
+
+        if m >= 3:
+            s0, _ = jax.lax.scan(rev, a_int[-1], (a_int[:-1], u_int),
+                                 reverse=True)
+        else:
+            s0 = a_int[-1]
+        d0 = _batched_inv_spd(s0)
+
+        # G = [T^-1]_{0,m-2} via x_j = -inv_j U_j x_{j+1}, x_{m-2} =
+        # inv_{m-2} (carry-only batched matmul chain).
+        def chain(x, inputs):
+            inv_j, u_j = inputs
+            return -(inv_j @ (u_j @ x)), None
+
+        if m >= 3:
+            g_cor, _ = jax.lax.scan(chain, dm, (invs[:-1], u_int),
+                                    reverse=True)
+        else:
+            g_cor = dm
+
+        bt = jnp.swapaxes(b_cpl, -1, -2)
+        ct = jnp.swapaxes(c_cpl, -1, -2)
+        d0_next = jnp.roll(d0, -1, axis=0)  # garbage at C-1: c_cpl=0
+        ahat = a_if - bt @ dm @ b_cpl - c_cpl @ d0_next @ ct
+        ahat = 0.5 * (ahat + jnp.swapaxes(ahat, -1, -2))
+        uhat = -(c_cpl[:-1] @ g_cor[1:] @ b_cpl[1:])
+        red = block_thomas_factor(ahat, uhat)
+    return PartitionedThomasFactor(chunk=chunk, red=red, b_cpl=b_cpl,
+                                   c_cpl=c_cpl)
+
+
+def _sub_batched(chunk: ThomasFactor, g_tm):
+    """Batched chunk substitution, TIME-major: ``g_tm (m-1, C, M)``
+    rows -> solution rows, same layout (block_thomas_substitute's math
+    with a batch axis; reverse=True back pass, no flipped copies)."""
+    invs, ws, up = chunk
+    c, m_blk = g_tm.shape[1], g_tm.shape[2]
+
+    def fwd(y_prev, inputs):
+        w_k, b_k = inputs
+        y_k = b_k - jnp.einsum("ci,cij->cj", y_prev, w_k)
+        return y_k, y_k
+
+    _, ys = jax.lax.scan(fwd, jnp.zeros((c, m_blk), invs.dtype),
+                         (ws, g_tm))
+
+    def bwd(x_next, inputs):
+        inv_k, y_k, u_k = inputs
+        x_k = jnp.einsum(
+            "ci,cij->cj",
+            y_k - jnp.einsum("ci,cji->cj", x_next, u_k), inv_k)
+        return x_k, x_k
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros((c, m_blk), invs.dtype),
+                         (invs, ys, up), reverse=True)
+    return xs
+
+
+def block_thomas_substitute_partitioned(fac: PartitionedThomasFactor,
+                                        b):
+    """Solve with a :class:`PartitionedThomasFactor`: two batched
+    chunk substitutions (depth m-1) around one tiny reduced solve
+    (depth C).  ``b`` is ``(N, M)`` rows; returns ``(N, M)``.
+    """
+    c = fac.b_cpl.shape[0]
+    m = fac.chunk.invs.shape[0] + 1
+    m_blk = b.shape[-1]
+    g = b.reshape(c, m, m_blk)
+    g_int = jnp.swapaxes(g[:, :m - 1], 0, 1)  # time-major (m-1, C, M)
+    f = g[:, m - 1]
+
+    with jax.default_matmul_precision("highest"):
+        r = _sub_batched(fac.chunk, g_int)
+        # bhat_c = f_c - r_c[m-2] B_c - r_{c+1}[0] C_c^T  (row forms of
+        # B^T x and C x).
+        r_next0 = jnp.roll(r[0], -1, axis=0)  # garbage at C-1: C=0
+        bhat = (f - _rowmat(r[m - 2], fac.b_cpl)
+                - _rowmat(r_next0, jnp.swapaxes(fac.c_cpl, -1, -2)))
+        s = block_thomas_substitute(fac.red, bhat)  # (C, M) rows
+        # g' = g - e_{m-2} B_c s_c - e_0 C_{c-1}^T s_{c-1}
+        s_prev = jnp.roll(s, 1, axis=0)
+        c_prev = jnp.roll(fac.c_cpl, 1, axis=0)
+        corr_last = _rowmat(s, jnp.swapaxes(fac.b_cpl, -1, -2))
+        corr_first = _rowmat(s_prev, c_prev)
+        corr_first = corr_first.at[0].set(0.0)  # chunk 0 has no left
+        g2 = g_int.at[m - 2].add(-corr_last)
+        g2 = g2.at[0].add(-corr_first)
+        u = _sub_batched(fac.chunk, g2)
+        # interleave back: (m-1, C, M) interiors + (C, M) interfaces
+        x = jnp.concatenate(
+            [jnp.swapaxes(u, 0, 1), s[:, None]], axis=1)  # (C, m, M)
+    return x.reshape(c * m, m_blk)
+
+
+def _rowmat(rows, mats):
+    """Batched row-vector x matrix: ``(C, M) @ (C, M, M) -> (C, M)``."""
+    return jnp.einsum("ci,cij->cj", rows, mats)
+
+
 def block_thomas_solve(diag, upper, b):
     """Solve the symmetric block-tridiagonal system via block Thomas.
 
@@ -455,7 +671,8 @@ class TridiagFlatFactor(typing.NamedTuple):
 
 
 def banded_factor_tridiag_flat(h_flat, band: int,
-                               super_size: int | None = None
+                               super_size: int | None = None,
+                               n_parts: int | None = None
                                ) -> TridiagFlatFactor:
     """Factor a flat banded system once for many right-hand sides.
 
@@ -465,17 +682,29 @@ def banded_factor_tridiag_flat(h_flat, band: int,
     once and then only :func:`banded_resolve_tridiag_flat` per
     iteration — the factorization (O(S^3) Cholesky/Schur per block) is
     the dominant cost of a solve; the substitution is O(S^2) matvecs.
+
+    ``n_parts``: partition the super-block chain into that many chunks
+    (:func:`block_thomas_factor_partitioned`) — factor and substitution
+    scans drop from depth N to N/n_parts, batched.  The trajectory is
+    padded up to a ``super_size * n_parts`` multiple.  Numerics: same
+    recursion per chunk, reduced interface system solved in the same
+    Cholesky/Schur arithmetic; results agree with the sequential factor
+    to solver roundoff, not bitwise.
     """
     if super_size is None:
         super_size = max(band, 1)
+    quantum = (super_size * n_parts if n_parts else super_size)
     h_flat, _ = pad_flat(h_flat, jnp.zeros((3, h_flat.shape[1]),
-                                           h_flat.dtype), super_size)
+                                           h_flat.dtype), quantum)
     with jax.default_matmul_precision("highest"):
         h_s, _, s = _flat_prescale(
             h_flat, jnp.zeros((3, h_flat.shape[1]), h_flat.dtype), band)
         diag, upper = _flat_to_tridiag(h_s, band, super_size)
-        return TridiagFlatFactor(factor=block_thomas_factor(diag, upper),
-                                 s=s)
+        if n_parts:
+            fac = block_thomas_factor_partitioned(diag, upper, n_parts)
+        else:
+            fac = block_thomas_factor(diag, upper)
+        return TridiagFlatFactor(factor=fac, s=s)
 
 
 def banded_resolve_tridiag_flat(fac: TridiagFlatFactor, b_flat,
@@ -484,7 +713,9 @@ def banded_resolve_tridiag_flat(fac: TridiagFlatFactor, b_flat,
 
     Bit-identical to :func:`banded_solve_tridiag_flat` on the same
     ``(h_flat, b_flat)`` (the prescale/interleave/substitution ops run
-    in the same order).  Returns ``(T1, 3)`` like the one-shot solver.
+    in the same order; with a partitioned factor, agreement is to
+    solver roundoff instead).  Returns ``(T1, 3)`` like the one-shot
+    solver.
     """
     t1 = b_flat.shape[1]
     t_pad = fac.s.shape[1]
@@ -492,7 +723,10 @@ def banded_resolve_tridiag_flat(fac: TridiagFlatFactor, b_flat,
     with jax.default_matmul_precision("highest"):
         b_s = b_flat * fac.s
         b_sup = flat_rows_to_super(b_s, super_size)
-        x = block_thomas_substitute(fac.factor, b_sup)
+        if isinstance(fac.factor, PartitionedThomasFactor):
+            x = block_thomas_substitute_partitioned(fac.factor, b_sup)
+        else:
+            x = block_thomas_substitute(fac.factor, b_sup)
         x3 = super_rows_to_flat(x, super_size) * fac.s
     return x3.T[:t1]
 

@@ -138,14 +138,14 @@ PF_BATCH = KernelModel(
     name="pf_batch",
     vpu_slots=2 * BOX_MULLER_PAIR + 2 * SINCOS + 5 * 11 + EXP + 40.0,
     hbm_bytes=32.0,
-    note="per-tile grid overhead floor, see STATUS.md")
+    note="in-tile resample + per-filter noise streams floor, see STATUS.md r5")
 
 #: Wide (multi-tile-per-filter) batched PF: per-particle math as above;
 #: firing steps additionally pay pass A/B + packed<->flat transposes
 #: (~14 ms/firing step at 1024x10k, STATUS.md — the known bottleneck).
 PF_WIDE = dataclasses.replace(
     PF_BATCH, name="pf_wide",
-    note="firing-path pass A/B + transposes dominate at default gate")
+    note="firing path ~2.1 ms/M resampled, kernel-work-bound (STATUS.md r5 table)")
 
 #: Two-pass Pallas merge resample, per particle per FIRING step: pass A
 #: reads weights + writes compacted survivors (~2 values), pass C
