@@ -28,6 +28,23 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the in-process compiler/executable state of the full tier.
+
+    The suite runs hundreds of distinct jit programs in one process on
+    the virtual 8-device CPU backend; with enough accumulated state the
+    XLA:CPU compiler segfaults inside ``backend_compile_and_load`` on a
+    later (individually fine) compile — observed round 5 on merge-kernel
+    tests when preceded by the full solver module, passing in isolation
+    or any small module combination.  Dropping the jit caches at module
+    boundaries keeps the live-state envelope flat; the smoke tier is
+    unaffected (each module recompiles only its own programs).
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
