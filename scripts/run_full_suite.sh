@@ -12,11 +12,27 @@ set -u
 cd "$(dirname "$0")/.."
 fail=0
 declare -a failed
-for f in tests/test_*.py; do
-    echo "=== $f ==="
-    if ! python -m pytest "$f" -q "$@"; then
+
+run_chunk() {
+    echo "=== $1 ==="
+    if ! python -m pytest "$1" -q "${EXTRA_ARGS[@]}"; then
         fail=1
-        failed+=("$f")
+        failed+=("$1")
+    fi
+}
+
+EXTRA_ARGS=("$@")
+for f in tests/test_*.py; do
+    if [ "$(grep -c '^class Test' "$f")" -ge 8 ]; then
+        # Compile-heavy modules (test_ops: ~90 interpret-mode Pallas
+        # tests) cross the compiler-state threshold even alone — split
+        # those per class.
+        for cls in $(grep -o '^class Test[A-Za-z0-9_]*' "$f" \
+                     | sed 's/^class //'); do
+            run_chunk "$f::$cls"
+        done
+    else
+        run_chunk "$f"
     fi
 done
 if [ "$fail" -ne 0 ]; then
