@@ -189,7 +189,7 @@ def bench_graph(n_steps=18, guard="full"):
 
 
 def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40,
-                      scan_chunk=None, radius_frac=0.3):
+                      scan_chunk=None, radius_frac=0.3, n_parts=None):
     """BASELINE config 5 and its scale-ups: banded solve latency.
 
     Defaults = the 10k-pose / 1k-landmark BASELINE config; the flagship
@@ -231,7 +231,8 @@ def bench_graph_large(n_poses=10000, n_landmarks=1000, window=40,
                                  rel_odom=rel_odom,
                                  odom_info=(100.0, 100.0, 100.0),
                                  solver="tridiag", stall_ratio=0.5,
-                                 delta_tol=1e-6 * n_poses)
+                                 delta_tol=1e-6 * n_poses,
+                                 n_parts=n_parts)
         return jnp.sum(res.poses) + res.delta_sum, res.gn_iters
 
     jfn = jax.jit(fn)

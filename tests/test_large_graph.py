@@ -334,6 +334,28 @@ class TestTridiagSolver:
                     fac, jnp.asarray(b)))
                 np.testing.assert_allclose(x, x_ref, atol=1e-12,
                                            err_msg=f"n_parts={c}")
+            # m_blk = 5 above exercises the lax fallback; m_blk = 6
+            # (a multiple of 3) takes the blocked closed-form inverse
+            # (inv_impl="blocked", the production super-block case).
+            m6 = 6
+            a6 = np.stack([np.eye(m6) * (6 + i % 3)
+                           + 0.3 * rng.normal(size=(m6, m6))
+                           for i in range(n)])
+            a6 = 0.5 * (a6 + a6.transpose(0, 2, 1))
+            u6 = 0.3 * rng.normal(size=(n - 1, m6, m6))
+            b6 = rng.normal(size=(n, m6))
+            x_ref6 = np.asarray(block_thomas_solve(
+                jnp.asarray(a6), jnp.asarray(u6), jnp.asarray(b6)))
+            for c in (2, 4, 12):
+                for impl in ("blocked", "lax"):
+                    fac = block_thomas_factor_partitioned(
+                        jnp.asarray(a6), jnp.asarray(u6), c,
+                        inv_impl=impl)
+                    x = np.asarray(block_thomas_substitute_partitioned(
+                        fac, jnp.asarray(b6)))
+                    np.testing.assert_allclose(
+                        x, x_ref6, atol=1e-11,
+                        err_msg=f"n_parts={c} inv_impl={impl}")
             with pytest.raises(ValueError):
                 block_thomas_factor_partitioned(
                     jnp.asarray(a), jnp.asarray(u), 7)  # 24 % 7 != 0

@@ -218,8 +218,108 @@ def _batched_inv_spd(a):
     return jnp.swapaxes(li, -1, -2) @ li
 
 
+def _chol3(d):
+    """Closed-form batched 3x3 lower Cholesky.
+
+    No ``lax.linalg``: XLA's TPU Cholesky lowering SERIALIZES over the
+    batch inside scans (measured round 5, 221/790 us/step at C=8/32 vs
+    36 us unbatched), while elementwise chains like this one vectorize.
+    Same arithmetic as the textbook recursion, so non-PD inputs yield
+    NaN exactly where ``jnp.linalg.cholesky`` would.
+    """
+    l11 = jnp.sqrt(d[..., 0, 0])
+    l21 = d[..., 1, 0] / l11
+    l31 = d[..., 2, 0] / l11
+    l22 = jnp.sqrt(d[..., 1, 1] - l21 * l21)
+    l32 = (d[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(d[..., 2, 2] - l31 * l31 - l32 * l32)
+    z = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([l11, z, z], axis=-1),
+        jnp.stack([l21, l22, z], axis=-1),
+        jnp.stack([l31, l32, l33], axis=-1)], axis=-2)
+
+
+def _inv_lower3(lo):
+    """Closed-form batched inverse of a 3x3 lower-triangular factor."""
+    l11, l21, l22 = lo[..., 0, 0], lo[..., 1, 0], lo[..., 1, 1]
+    l31, l32, l33 = lo[..., 2, 0], lo[..., 2, 1], lo[..., 2, 2]
+    m11, m22, m33 = 1.0 / l11, 1.0 / l22, 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m32 = -l32 * m22 * m33
+    m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
+    z = jnp.zeros_like(m11)
+    return jnp.stack([
+        jnp.stack([m11, z, z], axis=-1),
+        jnp.stack([m21, m22, z], axis=-1),
+        jnp.stack([m31, m32, m33], axis=-1)], axis=-2)
+
+
+def _chol_blocked(a, blk: int = 3):
+    """Batched blocked lower Cholesky from closed-form 3x3 factors +
+    ``dot_general`` only (right-looking, shrinking trailing update) —
+    every op vectorizes over the leading batch axes inside a scan."""
+    m = a.shape[-1]
+    nb = m // blk
+    batch = a.shape[:-2]
+    cols = []
+    w = a
+    for k in range(nb):
+        lkk = _chol3(w[..., :blk, :blk])
+        if k + 1 < nb:
+            li = _inv_lower3(lkk)
+            p = w[..., blk:, :blk]
+            x = jnp.einsum("...ij,...kj->...ik", p, li)  # P @ L_kk^-T
+            w = w[..., blk:, blk:] - jnp.einsum("...ik,...jk->...ij",
+                                                x, x)
+            col = jnp.concatenate([lkk, x], axis=-2)
+        else:
+            col = lkk
+        if k:
+            col = jnp.concatenate(
+                [jnp.zeros((*batch, k * blk, blk), a.dtype), col],
+                axis=-2)
+        cols.append(col)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _inv_lower_blocked(lo, blk: int = 3):
+    """Batched inverse of a blocked lower-triangular factor (forward
+    substitution by ``blk``-row panels; one panel dot per step)."""
+    m = lo.shape[-1]
+    nb = m // blk
+    eye = jnp.eye(m, dtype=lo.dtype)
+    acc = None
+    for k in range(nb):
+        s = k * blk
+        likk = _inv_lower3(lo[..., s:s + blk, s:s + blk])
+        rhs = jnp.broadcast_to(eye[s:s + blk],
+                               (*lo.shape[:-2], blk, m))
+        if k:
+            rhs = rhs - lo[..., s:s + blk, :s] @ acc
+        rows = likk @ rhs
+        acc = rows if k == 0 else jnp.concatenate([acc, rows], axis=-2)
+    return acc
+
+
+def _batched_inv_spd_blocked(a, blk: int = 3):
+    """SPD inverse that stays VECTORIZED over the batch inside scans.
+
+    ``Li^T Li`` with ``Li`` from the blocked closed-form Cholesky; same
+    Cholesky->triangular-inverse->Gram chain as :func:`_batched_inv_spd`
+    (agreement to roundoff), but built only from elementwise chains and
+    ``dot_general`` — the ops XLA's TPU backend batches flat, unlike its
+    ``cholesky``/``triangular_solve`` lowerings which run one batch
+    element at a time inside a scan body.
+    """
+    li = _inv_lower_blocked(
+        _chol_blocked(0.5 * (a + jnp.swapaxes(a, -1, -2)), blk), blk)
+    return jnp.swapaxes(li, -1, -2) @ li
+
+
 def block_thomas_factor_partitioned(diag, upper,
-                                    n_parts: int
+                                    n_parts: int,
+                                    inv_impl: str = "lax"
                                     ) -> PartitionedThomasFactor:
     """Factor the N-block chain as ``n_parts`` independent chunks.
 
@@ -237,18 +337,29 @@ def block_thomas_factor_partitioned(diag, upper,
     only), ``G = [T^-1]_{0,m-2}`` (the backward multiplier chain
     ``x_j = -inv_j U_j x_{j+1}``, carry only), and ``r = T^-1 g``.
 
-    Note (measured, round 5): the batched per-step Cholesky/triangular
-    solve SERIALIZES over the chunk batch inside the scan (221/790
-    us/step at C=8/32 vs 36 us sequential), so this partitioned factor
-    is SLOWER than the sequential one at 1M poses; the partitioned
-    SUBSTITUTION is 2.8x faster (0.045 s vs 0.128 s at 1M, C=32).  A
-    Newton-Schulz matmul-only inverse was tried and rejected: the
+    ``inv_impl`` selects the per-step SPD inverse: ``"lax"`` (default)
+    uses ``jnp.linalg.cholesky`` + ``triangular_solve``, whose XLA:TPU
+    lowerings SERIALIZE over the chunk batch inside the scan (measured
+    round 5: 221/790 us/step at C=8/32 vs 36 us sequential — the
+    partitioned factor came out SLOWER than the sequential one at 1M
+    poses); ``"blocked"`` is :func:`_batched_inv_spd_blocked` —
+    closed-form 3x3 Cholesky chains + panel ``dot_general``s only.
+    MEASURED NEGATIVE RESULT (scripts/tpu_spike_blocked_r5.py, 1M
+    poses, one v5e): the blocked form does NOT restore the ~N/C factor
+    depth either — the 3-wide panel dots pad N/K to the 128-lane MXU
+    tile, so per-chunk cost stays ~25 us/instance (vs lax's ~27 us
+    serialized): C=32 factor 1.269 s (lax 1.37, sequential 0.864),
+    C=128 1.403 s (batch-proportional, not flat), C=512 OOMs HBM on
+    the unrolled intermediates; f32 solution error also grows 30x
+    (9.7e-4 vs 3.2e-5 at C=32) through the closed-form division
+    chains.  Vectorizing this factor for real needs a Pallas batched
+    Cholesky with the batch laid across lanes, not an XLA graph.  A
+    Newton-Schulz matmul-only inverse was also tried and rejected: the
     warm-start residual ``||I - S_k X_{k-1}||`` measures 2.6 mean / 9
     max on real prescaled chains (S = band packs a full bandwidth per
     super-block, so consecutive Schur complements are NOT close) - the
-    iteration diverges.  Use this factor when substitutions dominate
-    (many rhs per factorization); the production 1M path keeps the
-    sequential factor.
+    iteration diverges.  The partitioned SUBSTITUTION is the win:
+    2.8x faster than sequential at 1M, C=32 (0.045 s vs 0.128 s).
     """
     n, m_blk = diag.shape[0], diag.shape[1]
     c = n_parts
@@ -271,6 +382,10 @@ def block_thomas_factor_partitioned(diag, upper,
     b_cpl = up_r[:, m - 2]  # (C, M, M)
     c_cpl = up_r[:, m - 1]  # (C, M, M); zero for the last chunk
     eye = jnp.eye(m_blk, dtype=diag.dtype)
+    if inv_impl == "blocked" and m_blk % 3 == 0:
+        inv_fn = _batched_inv_spd_blocked
+    else:
+        inv_fn = _batched_inv_spd
 
     with jax.default_matmul_precision("highest"):
         # Batched chunk factor (block_thomas_factor's recursion with a
@@ -283,7 +398,7 @@ def block_thomas_factor_partitioned(diag, upper,
             a_k, u_k = inputs
             w = inv_prev @ u_prev
             s_k = a_k - jnp.swapaxes(u_prev, -1, -2) @ w
-            inv_k = _batched_inv_spd(s_k)
+            inv_k = inv_fn(s_k)
             return (inv_k, u_k), (inv_k, w)
 
         init = (jnp.broadcast_to(eye, (c, m_blk, m_blk)),
@@ -297,7 +412,7 @@ def block_thomas_factor_partitioned(diag, upper,
         # depth m-1).
         def rev(s_prev, inputs):
             a_j, u_j = inputs
-            x = _batched_inv_spd(s_prev)
+            x = inv_fn(s_prev)
             s_new = a_j - u_j @ x @ jnp.swapaxes(u_j, -1, -2)
             s_new = 0.5 * (s_new + jnp.swapaxes(s_new, -1, -2))
             return s_new, None
